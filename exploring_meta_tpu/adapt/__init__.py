@@ -1,0 +1,17 @@
+"""MAML/ANIL adaptation engine."""
+
+from exploring_meta_tpu.adapt.maml import (
+    inner_sgd,
+    make_fast_adapt,
+    make_meta_step,
+    make_meta_eval,
+    head_only_mask,
+    tree_where,
+    TaskResult,
+)
+from exploring_meta_tpu.adapt.vision import make_vision_fast_adapt
+
+__all__ = [
+    "inner_sgd", "make_fast_adapt", "make_meta_step", "make_meta_eval",
+    "head_only_mask", "tree_where", "TaskResult", "make_vision_fast_adapt",
+]

@@ -1,0 +1,142 @@
+"""MAML/ANIL engine: functional inner loops + one-program meta-steps.
+
+This replaces the reference's whole object-graph machinery —
+``l2l.algorithms.MAML`` clone/adapt (``vision/maml_vision.py:104``,
+``core_functions/vision.py:13``), the sequential per-task Python loop with
+``.backward()`` gradient accumulation (``maml_vision.py:102-141``), and
+``maml_update``/``clone_module`` (``core_functions/rl.py:374,447``) — with
+three pure functions:
+
+- ``inner_sgd``: unrolled K-step gradient descent on a params pytree.
+  Second-order meta-gradients fall out of ``jax.grad`` through the unroll;
+  ``first_order=True`` stop-gradients the inner grads (the l2l
+  ``first_order`` flag). A ``trainable`` mask pytree freezes leaves (ANIL
+  adapts only the head; l2l's ``allow_unused``/``allow_nograd`` become
+  unnecessary).
+- ``make_meta_loss``: support/query episode -> scalar meta-objective for
+  one task.
+- ``make_meta_step``: jit(grad(vmap(task_loss))) + optax update — the
+  entire meta-iteration (32 tasks x inner loops x second-order backward)
+  as ONE XLA program, vs. the reference's 32 sequential clone/adapt/
+  backward round-trips.
+
+The inner loop uses ``jax.checkpoint`` on the per-step loss by default so
+the unrolled second-order graph rematerializes activations instead of
+holding every inner step's activations in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def tree_where(mask, a, b):
+    """Per-leaf select: mask leaves are booleans (or 0/1)."""
+    return jax.tree_util.tree_map(
+        lambda m, x, y: jnp.where(m, x, y), mask, a, b)
+
+
+def inner_sgd(loss_fn: Callable, params, batch, inner_lr: float,
+              adapt_steps: int, first_order: bool = False,
+              trainable=None, remat: bool = True):
+    """K steps of SGD on ``loss_fn(params, batch)``; returns adapted params.
+
+    Differentiable end-to-end: taking ``jax.grad`` of a function of the
+    result gives exact second-order MAML meta-gradients (or first-order
+    when ``first_order=True``). ``trainable`` is an optional pytree of
+    bools matching ``params`` — leaves marked False are frozen (ANIL).
+    """
+    step_loss = jax.checkpoint(loss_fn) if remat else loss_fn
+    for _ in range(adapt_steps):
+        grads = jax.grad(step_loss)(params, batch)
+        if first_order:
+            grads = jax.lax.stop_gradient(grads)
+        if trainable is not None:
+            grads = tree_where(trainable, grads,
+                               jax.tree_util.tree_map(jnp.zeros_like, grads))
+        params = jax.tree_util.tree_map(
+            lambda p, g: p - inner_lr * g, params, grads)
+    return params
+
+
+class TaskResult(NamedTuple):
+    loss: jnp.ndarray
+    metric: jnp.ndarray  # accuracy (vision) or reward (RL)
+
+
+def make_fast_adapt(loss_and_metric: Callable, inner_lr: float,
+                    adapt_steps: int, first_order: bool = False,
+                    trainable=None):
+    """Build the per-task ``fast_adapt`` (reference
+    ``core_functions/vision.py:6-18``): adapt on support, evaluate on query.
+
+    ``loss_and_metric(params, batch) -> (loss, metric)``. Returns
+    ``fast_adapt(params, support, query) -> TaskResult`` where
+    ``TaskResult.loss`` is the *differentiable* query loss.
+    """
+    support_loss = lambda p, b: loss_and_metric(p, b)[0]
+
+    def fast_adapt(params, support, query) -> TaskResult:
+        adapted = inner_sgd(support_loss, params, support, inner_lr,
+                            adapt_steps, first_order=first_order,
+                            trainable=trainable)
+        loss, metric = loss_and_metric(adapted, query)
+        return TaskResult(loss=loss, metric=metric)
+
+    return fast_adapt
+
+
+def make_meta_step(fast_adapt: Callable, optimizer: optax.GradientTransformation):
+    """Build the jitted outer step.
+
+    ``fast_adapt(params, *task) -> TaskResult`` is vmapped over the leading
+    task axis of every remaining argument; the mean query loss (the
+    reference's grad-accumulate + ``p.grad.mul_(1/B)``,
+    ``vision/maml_vision.py:139-141``) is differentiated through everything
+    and the optimizer applied. Returns
+    ``meta_step(params, opt_state, *task_batch) ->
+    (new_params, new_opt_state, metrics_dict)``.
+    """
+
+    def batch_loss(params, *task_batch):
+        results = jax.vmap(lambda *t: fast_adapt(params, *t))(*task_batch)
+        return jnp.mean(results.loss), jnp.mean(results.metric)
+
+    @jax.jit
+    def meta_step(params, opt_state, *task_batch):
+        (loss, metric), grads = jax.value_and_grad(
+            batch_loss, has_aux=True)(params, *task_batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "metric": metric}
+
+    return meta_step
+
+
+def make_meta_eval(fast_adapt: Callable):
+    """Jitted meta-evaluation over a task batch (no outer update) —
+    reference ``core_functions/vision.py:26-42``."""
+
+    @jax.jit
+    def meta_eval(params, *task_batch):
+        results = jax.vmap(lambda *t: fast_adapt(params, *t))(*task_batch)
+        return {"loss": jnp.mean(results.loss),
+                "metric": jnp.mean(results.metric)}
+
+    return meta_eval
+
+
+def head_only_mask(params, head_keys=("head",)):
+    """Trainable-mask pytree for ANIL: True only under ``head`` subtrees
+    (plus ``sigma`` for policies, handled by callers passing extra keys)."""
+
+    def mark(path, leaf):
+        names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+        return any(k in names for k in head_keys)
+
+    return jax.tree_util.tree_map_with_path(mark, params)

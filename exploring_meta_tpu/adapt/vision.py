@@ -1,0 +1,76 @@
+"""Few-shot vision fast-adapt: MAML and ANIL on CNN4 backbones.
+
+Functional equivalent of reference ``core_functions/vision.py`` +
+the ANIL feature/head split of ``vision/anil_vision.py:86-99``.
+
+Each task arrives as ``(data [2*shots*ways, H, W, C], labels)`` in
+class-major order; the support/query interleave contract of
+``utils/data_pre.py:115-129`` is applied inside (even indices = support).
+
+ANIL parity details preserved:
+- features are computed over the FULL task batch (support+query jointly)
+  before splitting, matching ``prepare_batch(features=...)`` — so BN
+  statistics in the body see support and query together;
+- the inner loop adapts only the head on those features, but the feature
+  graph is kept, so second-order meta-gradients flow into the body
+  through the inner head update exactly as in torch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from exploring_meta_tpu.adapt.maml import TaskResult, inner_sgd
+from exploring_meta_tpu.models.cnn4 import (
+    CNN4Spec, cnn4_apply, cnn4_features, cnn4_head_apply,
+)
+from exploring_meta_tpu.ops.losses import accuracy, cross_entropy
+
+
+def _interleave_split(data, labels, shots: int, ways: int):
+    idx_s = jnp.arange(shots * ways) * 2
+    idx_q = idx_s + 1
+    return ((jnp.take(data, idx_s, axis=0), jnp.take(labels, idx_s, axis=0)),
+            (jnp.take(data, idx_q, axis=0), jnp.take(labels, idx_q, axis=0)))
+
+
+def make_vision_fast_adapt(spec: CNN4Spec, inner_lr: float, adapt_steps: int,
+                           shots: int, ways: int, anil: bool = False,
+                           first_order: bool = False) -> Callable:
+    """-> ``fast_adapt(params, data, labels) -> TaskResult`` for one task."""
+
+    if not anil:
+        def loss_and_metric(params, batch):
+            x, y = batch
+            logits = cnn4_apply(params, spec, x)
+            return cross_entropy(logits, y), accuracy(logits, y)
+
+        def fast_adapt(params, data, labels) -> TaskResult:
+            support, query = _interleave_split(data, labels, shots, ways)
+            adapted = inner_sgd(lambda p, b: loss_and_metric(p, b)[0],
+                                params, support, inner_lr, adapt_steps,
+                                first_order=first_order)
+            loss, acc = loss_and_metric(adapted, query)
+            return TaskResult(loss=loss, metric=acc)
+
+        return fast_adapt
+
+    def fast_adapt_anil(params, data, labels) -> TaskResult:
+        # Encode the whole task batch once with the (inner-frozen) body.
+        feats = cnn4_features(params, spec, data)
+        (f_s, y_s), (f_q, y_q) = _interleave_split(feats, labels, shots, ways)
+
+        def head_loss(head, batch):
+            f, y = batch
+            return cross_entropy(cnn4_head_apply({"head": head}, f), y)
+
+        head = inner_sgd(head_loss, params["head"], (f_s, y_s), inner_lr,
+                         adapt_steps, first_order=first_order)
+        logits = cnn4_head_apply({"head": head}, f_q)
+        return TaskResult(loss=cross_entropy(logits, y_q),
+                          metric=accuracy(logits, y_q))
+
+    return fast_adapt_anil

@@ -1,0 +1,233 @@
+"""Functional RL policies mirroring reference ``core_functions/policies.py``.
+
+All policies are (params, state) -> distribution-parameter functions:
+
+- ``DiagNormalPolicy``      — Gaussian MLP (2x100 hidden), learned
+  state-independent log-sigma clamped at log(1e-6) (reference :30-67).
+- ``DiagNormalPolicyANIL``  — tanh body / linear head split; the ANIL
+  "frozen body" toggle (reference ``turn_off_body_grads``, :94-106)
+  becomes a ``stop_body_grad`` flag that stop-gradients the body output —
+  functionally identical to torch's ``no_grad`` body pass.
+- ``DiagNormalPolicyCNN`` / ``BaselineCNN`` — conv policies for 64x64
+  pixel observations (reference :129-245).
+- ``CategoricalPolicy``     — discrete policy over one-hot states
+  (reference :248-268).
+
+``log_prob`` keeps the reference's quirk of *averaging* (not summing) the
+per-dimension Gaussian log density over the action axis
+(``policies.py:54-56``) — the surrogate losses are calibrated to it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from exploring_meta_tpu.models import init as pinit
+from exploring_meta_tpu.models import distributions as dist
+from exploring_meta_tpu.models.layers import (
+    batch_norm, conv2d, linear, max_pool2d, mlp_apply, relu,
+)
+
+EPSILON = 1e-6
+MIN_LOG_SIGMA = math.log(EPSILON)
+
+
+def _init_mlp(key, sizes) -> list:
+    layers = []
+    for i, o in zip(sizes[:-1], sizes[1:]):
+        key, k = jax.random.split(key)
+        layers.append(pinit.linear_params(k, i, o, init="xavier"))
+    return layers
+
+
+def _sigma(params) -> jnp.ndarray:
+    return jnp.exp(jnp.clip(params["sigma"], min=MIN_LOG_SIGMA))
+
+
+class DiagNormalPolicy(NamedTuple):
+    """Static spec; params are a separate pytree."""
+    input_size: int
+    output_size: int
+    hiddens: tuple = (100, 100)
+    activation: str = "relu"
+
+    def init(self, key) -> dict:
+        km, _ = jax.random.split(key)
+        sizes = (self.input_size,) + tuple(self.hiddens) + (self.output_size,)
+        return {"mean": _init_mlp(km, sizes),
+                "sigma": jnp.zeros((self.output_size,))}  # fill_(log 1) = 0
+
+    def _act(self):
+        return jnp.tanh if self.activation == "tanh" else relu
+
+    def density(self, params, state):
+        """-> (loc, scale) of the diagonal Gaussian."""
+        loc = mlp_apply(params["mean"], state, self._act())
+        return loc, jnp.broadcast_to(_sigma(params), loc.shape)
+
+    def log_prob(self, params, state, action):
+        loc, scale = self.density(params, state)
+        return jnp.mean(dist.normal_log_prob(loc, scale, action),
+                        axis=-1, keepdims=True)
+
+    def sample(self, params, key, state):
+        loc, scale = self.density(params, state)
+        return dist.normal_sample(key, loc, scale)
+
+    def get_representation(self, params, x, layer: int = -1):
+        """Activations up to MLP layer ``layer`` (reference :63-67)."""
+        act = self._act()
+        upto = params["mean"][:layer] if layer != -1 else params["mean"][:-1]
+        for p in upto:
+            x = act(linear(p, x))
+        return x
+
+
+class DiagNormalPolicyANIL(NamedTuple):
+    input_size: int
+    output_size: int
+    fc_neurons: int = 100
+    hiddens: tuple = (100, 100)
+
+    def init(self, key) -> dict:
+        kb, kh = jax.random.split(key)
+        sizes = (self.input_size,) + tuple(self.hiddens)
+        return {
+            "body": _init_mlp(kb, sizes),
+            "head": pinit.linear_params(kh, self.fc_neurons, self.output_size,
+                                        init="xavier"),
+            "sigma": jnp.zeros((self.output_size,)),
+        }
+
+    def features(self, params, state):
+        """Tanh body (activation after every layer, reference :79-85)."""
+        x = state
+        for p in params["body"]:
+            x = jnp.tanh(linear(p, x))
+        return x
+
+    def density(self, params, state, stop_body_grad: bool = False):
+        feats = self.features(params, state)
+        if stop_body_grad:
+            feats = jax.lax.stop_gradient(feats)
+        loc = linear(params["head"], feats)
+        return loc, jnp.broadcast_to(_sigma(params), loc.shape)
+
+    def log_prob(self, params, state, action, stop_body_grad: bool = False):
+        loc, scale = self.density(params, state, stop_body_grad)
+        return jnp.mean(dist.normal_log_prob(loc, scale, action),
+                        axis=-1, keepdims=True)
+
+    def sample(self, params, key, state):
+        loc, scale = self.density(params, state)
+        return dist.normal_sample(key, loc, scale)
+
+    def get_representation(self, params, x, layer: int = -1):
+        upto = params["body"][:layer] if layer != -1 else params["body"]
+        for p in upto:
+            x = jnp.tanh(linear(p, x))
+        return x
+
+
+class DiagNormalPolicyCNN(NamedTuple):
+    """Conv Gaussian policy on [N, 64, 64, C] pixels (reference :129-193)."""
+    input_channels: int
+    output_size: int
+    network: tuple = (32, 64, 64)
+
+    @property
+    def flatten_size(self) -> int:
+        final = int(64 / (2 ** len(self.network)))
+        return self.network[-1] * final * final
+
+    def init(self, key) -> dict:
+        blocks = []
+        in_ch = self.input_channels
+        for out_ch in self.network:
+            key, kc, kb = jax.random.split(key, 3)
+            blocks.append({"conv": pinit.conv_params(kc, 3, in_ch, out_ch),
+                           "bn": pinit.batchnorm_params(kb, out_ch)})
+            in_ch = out_ch
+        key, kh = jax.random.split(key)
+        return {"features": blocks,
+                "mean": pinit.linear_params(kh, self.flatten_size,
+                                            self.output_size, init="xavier"),
+                "sigma": jnp.zeros((self.output_size,))}
+
+    def _features(self, params, x):
+        for p in params["features"]:
+            x = conv2d(p["conv"], x, stride=1, padding=1)
+            x = max_pool2d(relu(batch_norm(p["bn"], x)), 2, 2)
+        return x.reshape(x.shape[0], -1)
+
+    def density(self, params, state):
+        loc = linear(params["mean"], self._features(params, state))
+        return loc, jnp.broadcast_to(_sigma(params), loc.shape)
+
+    def log_prob(self, params, state, action):
+        loc, scale = self.density(params, state)
+        return jnp.mean(dist.normal_log_prob(loc, scale, action),
+                        axis=-1, keepdims=True)
+
+    def sample(self, params, key, state):
+        loc, scale = self.density(params, state)
+        return dist.normal_sample(key, loc, scale)
+
+
+class BaselineCNN(NamedTuple):
+    """Conv value network -> scalar (reference :196-245)."""
+    input_channels: int
+    network: tuple = (32, 64, 64)
+
+    @property
+    def flatten_size(self) -> int:
+        final = int(64 / (2 ** len(self.network)))
+        return self.network[-1] * final * final
+
+    def init(self, key) -> dict:
+        blocks = []
+        in_ch = self.input_channels
+        for out_ch in self.network:
+            key, kc, kb = jax.random.split(key, 3)
+            blocks.append({"conv": pinit.conv_params(kc, 3, in_ch, out_ch),
+                           "bn": pinit.batchnorm_params(kb, out_ch)})
+            in_ch = out_ch
+        key, kh = jax.random.split(key)
+        return {"features": blocks,
+                "head": pinit.linear_params(kh, self.flatten_size, 1,
+                                            init="xavier")}
+
+    def apply(self, params, state):
+        x = state
+        for p in params["features"]:
+            x = conv2d(p["conv"], x, stride=1, padding=1)
+            x = max_pool2d(relu(batch_norm(p["bn"], x)), 2, 2)
+        return linear(params["head"], x.reshape(x.shape[0], -1))
+
+
+class CategoricalPolicy(NamedTuple):
+    input_size: int
+    output_size: int
+    hiddens: tuple = (100, 100)
+
+    def init(self, key) -> dict:
+        sizes = (self.input_size,) + tuple(self.hiddens) + (self.output_size,)
+        return {"mean": _init_mlp(key, sizes)}
+
+    def logits(self, params, state):
+        from exploring_meta_tpu.ops.stats import onehot
+        state = onehot(state, self.input_size)
+        return mlp_apply(params["mean"], state, relu)
+
+    def sample(self, params, key, state):
+        lg = self.logits(params, state)
+        action = dist.categorical_sample(key, lg)
+        log_prob = dist.categorical_log_prob(lg, action)
+        return action, {"log_prob": jax.lax.stop_gradient(log_prob)}
+
+    def log_prob(self, params, state, action):
+        return dist.categorical_log_prob(self.logits(params, state), action)

@@ -1,0 +1,9 @@
+"""Device-mesh parallelism (task-DP via shard_map + ICI collectives)."""
+
+from exploring_meta_tpu.parallel.mesh import (
+    make_task_mesh,
+    make_sharded_meta_step,
+    shard_task_batch,
+)
+
+__all__ = ["make_task_mesh", "make_sharded_meta_step", "shard_task_batch"]

@@ -1,0 +1,160 @@
+"""Experiment harness: run dirs, metric logs, checkpoints.
+
+Keeps the reference's artifact contract byte-compatible where analysis
+tooling parses it (``utils/experiment.py:13-95``):
+
+    results/<algo>_<dataset>_<date>_<seed>_<rand>/
+        logger.json        config + metadata (incl. 'elapsed_time',
+                           'test_acc', 'manually_stopped')
+        metrics.json       {metric_name: [values...]}
+        model.npz          final params (flat {path: array}; the
+                           reference's model.pt equivalent)
+        model_checkpoints/model_<iter>.npz
+
+Adds what the reference lacks (SURVEY.md §5): true resume — checkpoints
+optionally include optimizer state and RNG key so training can continue
+mid-run, not just be evaluated offline.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import numpy as np
+import jax
+
+
+def flatten_params(tree, prefix: str = "") -> dict:
+    """Pytree -> flat {slash/path: np.ndarray} dict (npz-serializable)."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path)
+        flat[(prefix + key) if prefix else key] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_into(tree, flat: dict, prefix: str = ""):
+    """Inverse of :func:`flatten_params` given a structural template."""
+    def rebuild(path, leaf):
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path)
+        return jax.numpy.asarray(flat[(prefix + key) if prefix else key],
+                                 dtype=leaf.dtype)
+    return jax.tree_util.tree_map_with_path(rebuild, tree)
+
+
+class Experiment:
+    """Logger/checkpointer each trainer inherits (reference Experiment)."""
+
+    def __init__(self, algo: str, dataset: str, params: dict,
+                 path: str = "results/", use_wandb: bool = False):
+        params = dict(params)
+        params["algo"] = algo
+        params["dataset"] = dataset
+        params.setdefault("seed", 42)
+        self.params = params
+
+        rng = np.random.default_rng()
+        self.logger = {
+            "config": self.params,
+            "date": datetime.datetime.now().strftime("%d_%m_%Hh%M"),
+            "model_id": f"{params['seed']}_{rng.integers(1, 9999)}",
+        }
+        self.metrics: dict = {}
+
+        os.makedirs(path, exist_ok=True)
+        self.model_path = os.path.join(
+            path, f"{algo}_{dataset}_{self.logger['date']}_{self.logger['model_id']}")
+        os.makedirs(self.model_path)
+        os.makedirs(os.path.join(self.model_path, "model_checkpoints"))
+
+        self._use_wandb = False
+        if use_wandb:  # optional, gated: wandb is not in the base image
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project="exploring_meta_tpu",
+                    id=f"{algo}_{dataset}_{self.logger['model_id']}",
+                    config=self.params, tags=[algo, dataset])
+                self._use_wandb = True
+            except Exception as e:  # pragma: no cover
+                print(f"wandb unavailable ({e}); continuing without it")
+
+    # -- metrics -----------------------------------------------------------
+
+    def log_metrics(self, metrics: dict, step: int | None = None) -> None:
+        for key, value in metrics.items():
+            self.metrics.setdefault(key, []).append(
+                float(value) if np.isscalar(value) or hasattr(value, "item")
+                else value)
+        if self._use_wandb:  # pragma: no cover
+            self._wandb.log(metrics, step=step)
+
+    def log_model(self, params, name: str = "model") -> None:
+        """Architecture summary dump (reference's torchsummary analog)."""
+        lines = [f"{k}: shape={v.shape} params={v.size}"
+                 for k, v in flatten_params(params).items()]
+        total = sum(v.size for v in flatten_params(params).values())
+        lines.append(f"TOTAL PARAMS: {total}")
+        info = "\n".join(lines)
+        print(info)
+        with open(os.path.join(self.model_path, f"{name}.summary"), "w") as f:
+            f.write(info)
+
+    def save_logs_to_file(self) -> None:
+        with open(os.path.join(self.model_path, "metrics.json"), "w") as f:
+            json.dump(self.metrics, f)
+        with open(os.path.join(self.model_path, "logger.json"), "w") as f:
+            json.dump(self.logger, f, sort_keys=True, indent=4, default=str)
+
+    # -- checkpoints ---------------------------------------------------------
+
+    def save_model(self, params, name: str = "model") -> None:
+        np.savez(os.path.join(self.model_path, f"{name}.npz"),
+                 **flatten_params(params))
+
+    def save_model_checkpoint(self, params, iteration, name: str = "model",
+                              opt_state=None, rng_key=None) -> None:
+        """Checkpoint with optional resume state (opt/rng), which the
+        reference lacks."""
+        flat = flatten_params(params)
+        if opt_state is not None:
+            flat.update(flatten_params(opt_state, prefix="__opt__/"))
+        if rng_key is not None:
+            flat["__rng__"] = np.asarray(jax.random.key_data(rng_key))
+        flat["__iteration__"] = np.asarray(int(iteration))
+        np.savez(os.path.join(self.model_path, "model_checkpoints",
+                              f"{name}_{iteration}.npz"), **flat)
+
+    def save_acc_matrix(self, acc_matrix) -> None:
+        print("Saving accuracy matrix..")
+        print(acc_matrix)
+        np.savetxt(os.path.join(self.model_path, "acc_matrix.out"),
+                   np.asarray(acc_matrix), fmt="%1.2f")
+
+
+def load_params(path: str, template):
+    """Load a model.npz / checkpoint into the structure of ``template``."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return unflatten_into(template, flat)
+
+
+def load_checkpoint(path: str, params_template, opt_template=None):
+    """-> (params, opt_state|None, rng_key|None, iteration)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    params = unflatten_into(params_template, flat)
+    opt_state = None
+    if opt_template is not None and any(k.startswith("__opt__/") for k in flat):
+        opt_state = unflatten_into(opt_template, flat, prefix="__opt__/")
+    rng_key = None
+    if "__rng__" in flat:
+        rng_key = jax.random.wrap_key_data(jax.numpy.asarray(flat["__rng__"]))
+    iteration = int(flat.get("__iteration__", 0))
+    return params, opt_state, rng_key, iteration

@@ -1,20 +1,25 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip sharding logic is exercised without TPU hardware by forcing the
-CPU backend to expose 8 XLA devices (SURVEY.md §4d). Must run before jax
-is imported anywhere.
+CPU backend to expose 8 XLA devices (SURVEY.md §4d).
+
+This environment pre-imports jax at interpreter startup (axon
+sitecustomize via PYTHONPATH) with JAX_PLATFORMS=axon, so env vars set
+here are too late for jax's import-time config — but the XLA backend is
+not yet initialized when conftest loads, so ``jax.config.update`` plus an
+XLA_FLAGS env tweak still take effect.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+import pytest
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
-import pytest  # noqa: E402
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,258 @@
+"""MAML engine tests: gradient correctness is the core of the framework.
+
+- finite-difference check of the second-order meta-gradient;
+- torch cross-check: manual clone/adapt/create_graph MAML on an identical
+  tiny MLP must produce the same meta-gradient;
+- first-order and ANIL masking semantics;
+- end-to-end: a few meta-steps on synthetic tasks must improve accuracy.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from exploring_meta_tpu import adapt, models, tasks
+from exploring_meta_tpu.ops.losses import cross_entropy, accuracy
+
+
+def _tiny_mlp_loss(params, batch):
+    x, y = batch
+    h = jnp.tanh(x @ params["w1"] + params["b1"])
+    logits = h @ params["w2"] + params["b2"]
+    return cross_entropy(logits, y)
+
+
+def _tiny_params(key):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": 0.5 * jax.random.normal(k1, (3, 4)),
+        "b1": jnp.zeros(4),
+        "w2": 0.5 * jax.random.normal(k2, (4, 2)),
+        "b2": jnp.zeros(2),
+    }
+
+
+def _task(key):
+    kx, ky, kq = jax.random.split(key, 3)
+    xs = jax.random.normal(kx, (6, 3))
+    ys = jax.random.randint(ky, (6,), 0, 2)
+    xq = jax.random.normal(kq, (6, 3))
+    return (xs, ys), (xq, ys)
+
+
+class TestMetaGradient:
+    def _meta_loss(self, params, support, query, first_order=False):
+        adapted = adapt.inner_sgd(_tiny_mlp_loss, params, support,
+                                  inner_lr=0.1, adapt_steps=2,
+                                  first_order=first_order)
+        return _tiny_mlp_loss(adapted, query)
+
+    def test_second_order_vs_finite_differences(self):
+        with jax.enable_x64(True):
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float64), _tiny_params(jax.random.key(0)))
+            s, q = _task(jax.random.key(1))
+            support = (s[0].astype(jnp.float64), s[1])
+            query = (q[0].astype(jnp.float64), q[1])
+
+            g = jax.grad(self._meta_loss)(params, support, query)
+            flat_g, unravel = jax.flatten_util.ravel_pytree(g)
+            flat_p, _ = jax.flatten_util.ravel_pytree(params)
+
+            rng = np.random.default_rng(0)
+            for _ in range(5):
+                v = rng.normal(size=flat_p.shape)
+                v /= np.linalg.norm(v)
+                eps = 1e-5
+
+                def f(t):
+                    p = unravel(jnp.asarray(flat_p + t * v))
+                    return float(self._meta_loss(p, support, query))
+
+                fd = (f(eps) - f(-eps)) / (2 * eps)
+                analytic = float(flat_g @ v)
+                assert fd == pytest.approx(analytic, rel=1e-5, abs=1e-8)
+
+    def test_second_order_vs_torch_manual_maml(self):
+        torch = pytest.importorskip("torch")
+        params = _tiny_params(jax.random.key(2))
+        support, query = _task(jax.random.key(3))
+        g_jax = jax.grad(self._meta_loss)(params, support, query)
+
+        # identical computation in torch with create_graph=True
+        tp = {k: torch.tensor(np.asarray(v), requires_grad=True)
+              for k, v in params.items()}
+        xs = torch.tensor(np.asarray(support[0]))
+        ys = torch.tensor(np.asarray(support[1]), dtype=torch.long)
+        xq = torch.tensor(np.asarray(query[0]))
+        yq = torch.tensor(np.asarray(query[1]), dtype=torch.long)
+
+        def t_loss(p, x, y):
+            h = torch.tanh(x @ p["w1"] + p["b1"])
+            return torch.nn.functional.cross_entropy(h @ p["w2"] + p["b2"], y)
+
+        cur = dict(tp)
+        for _ in range(2):
+            loss = t_loss(cur, xs, ys)
+            grads = torch.autograd.grad(loss, list(cur.values()),
+                                        create_graph=True)
+            cur = {k: v - 0.1 * g for (k, v), g in zip(cur.items(), grads)}
+        t_loss(cur, xq, yq).backward()
+
+        for k in params:
+            np.testing.assert_allclose(np.asarray(g_jax[k]),
+                                       tp[k].grad.numpy(),
+                                       rtol=2e-3, atol=2e-5)
+
+    def test_first_order_differs_and_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        params = _tiny_params(jax.random.key(4))
+        support, query = _task(jax.random.key(5))
+        g_fo = jax.grad(self._meta_loss)(params, support, query, True)
+        g_so = jax.grad(self._meta_loss)(params, support, query, False)
+        # FO and SO must genuinely differ
+        d = jax.tree_util.tree_map(
+            lambda a, b: np.abs(np.asarray(a - b)).max(), g_fo, g_so)
+        assert max(jax.tree_util.tree_leaves(d)) > 1e-5
+
+        # torch first-order: detach inner grads
+        tp = {k: torch.tensor(np.asarray(v), requires_grad=True)
+              for k, v in params.items()}
+        xs = torch.tensor(np.asarray(support[0]))
+        ys = torch.tensor(np.asarray(support[1]), dtype=torch.long)
+        xq = torch.tensor(np.asarray(query[0]))
+        yq = torch.tensor(np.asarray(query[1]), dtype=torch.long)
+
+        def t_loss(p, x, y):
+            h = torch.tanh(x @ p["w1"] + p["b1"])
+            return torch.nn.functional.cross_entropy(h @ p["w2"] + p["b2"], y)
+
+        cur = dict(tp)
+        for _ in range(2):
+            grads = torch.autograd.grad(t_loss(cur, xs, ys),
+                                        list(cur.values()),
+                                        create_graph=False)
+            cur = {k: v - 0.1 * g.detach()
+                   for (k, v), g in zip(cur.items(), grads)}
+        t_loss(cur, xq, yq).backward()
+        for k in params:
+            np.testing.assert_allclose(np.asarray(g_fo[k]),
+                                       tp[k].grad.numpy(),
+                                       rtol=2e-3, atol=2e-5)
+
+    def test_anil_mask_freezes_inner_but_not_outer(self):
+        params = _tiny_params(jax.random.key(6))
+        support, query = _task(jax.random.key(7))
+        mask = {"w1": False, "b1": False, "w2": True, "b2": True}
+
+        def meta_loss(p):
+            adapted = adapt.inner_sgd(_tiny_mlp_loss, p, support, 0.1, 1,
+                                      trainable=mask)
+            return _tiny_mlp_loss(adapted, query)
+
+        # inner loop must not move frozen leaves
+        adapted = adapt.inner_sgd(_tiny_mlp_loss, params, support, 0.1, 1,
+                                  trainable=mask)
+        np.testing.assert_allclose(np.asarray(adapted["w1"]),
+                                   np.asarray(params["w1"]))
+        assert np.abs(np.asarray(adapted["w2"] - params["w2"])).max() > 0
+
+        # outer grads still reach the body through the query pass
+        g = jax.grad(meta_loss)(params)
+        assert np.abs(np.asarray(g["w1"])).max() > 0
+
+
+class TestSampler:
+    def test_task_shapes_and_labels(self):
+        train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                          synthetic_classes=20)
+        data, labels = tasks.sample_task_batch(jax.random.key(0), train,
+                                               ways=5, shots=1, meta_batch=4)
+        assert data.shape == (4, 10, 28, 28, 1)
+        assert labels.shape == (4, 10)
+        # class-major consecutive labels 0..4, each 2*shots times
+        np.testing.assert_array_equal(np.asarray(labels[0]),
+                                      np.repeat(np.arange(5), 2))
+
+    def test_no_duplicate_samples_within_class(self):
+        train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                          synthetic_classes=20)
+        data, labels = tasks.sample_task_batch(jax.random.key(1), train,
+                                               ways=5, shots=5, meta_batch=2)
+        d = np.asarray(data[0])
+        for c in range(5):
+            cls_imgs = d[c * 10:(c + 1) * 10].reshape(10, -1)
+            uniq = np.unique(cls_imgs, axis=0)
+            assert uniq.shape[0] == 10  # all distinct (no replacement)
+
+    def test_support_query_interleave_contract(self):
+        """Even indices = support (reference data_pre.py:122-124)."""
+        data = jnp.arange(10)[:, None]
+        labels = jnp.repeat(jnp.arange(5), 2)
+        (sd, sl), (qd, ql) = tasks.split_support_query(data, labels,
+                                                       shots=1, ways=5)
+        np.testing.assert_array_equal(np.asarray(sd)[:, 0], [0, 2, 4, 6, 8])
+        np.testing.assert_array_equal(np.asarray(qd)[:, 0], [1, 3, 5, 7, 9])
+        np.testing.assert_array_equal(np.asarray(sl), np.asarray(ql))
+
+    def test_omniglot_values_inverted(self):
+        train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                          synthetic_classes=12)
+        data, _ = tasks.sample_task_batch(jax.random.key(2), train,
+                                          ways=3, shots=1, meta_batch=1)
+        d = np.asarray(data)
+        assert d.min() >= -1e-6 and d.max() <= 1.0 + 1e-6  # f32 rounding slack
+
+    def test_splits_disjoint_and_sized(self):
+        tr, va, te = tasks.load_omniglot(seed=0, synthetic=True,
+                                         synthetic_classes=60)
+        assert tr.n_classes + va.n_classes + te.n_classes == 60
+        # reference ratio 1100/100/423
+        assert tr.n_classes == int(60 * 1100 / 1623)
+
+
+class TestEndToEnd:
+    def test_maml_learns_synthetic_omniglot(self):
+        """Minimum end-to-end slice (SURVEY.md §7.2 stage 4): accuracy on
+        held-out tasks must clearly beat chance after a few meta-steps."""
+        train, _, test = tasks.load_omniglot(seed=0, synthetic=True,
+                                             synthetic_classes=30)
+        spec = models.omniglot_spec(ways=5, hidden=16, layers=4)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.5, adapt_steps=1,
+                                          shots=1, ways=5)
+        opt = optax.adam(1e-2)
+        step = adapt.make_meta_step(fa, opt)
+        evaluate = adapt.make_meta_eval(fa)
+        opt_state = opt.init(params)
+
+        key = jax.random.key(1)
+        for i in range(20):
+            key, k = jax.random.split(key)
+            data, labels = tasks.sample_task_batch(k, train, 5, 1, 8)
+            params, opt_state, m = step(params, opt_state, data, labels)
+
+        data, labels = tasks.sample_task_batch(jax.random.key(99), test, 5, 1, 16)
+        res = evaluate(params, data, labels)
+        assert float(res["metric"]) > 0.5, f"meta-test acc {res['metric']}"
+
+    def test_anil_learns_synthetic_omniglot(self):
+        train, _, test = tasks.load_omniglot(seed=0, synthetic=True,
+                                             synthetic_classes=30)
+        spec = models.anil_omniglot_spec(ways=5)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.5, adapt_steps=1,
+                                          shots=1, ways=5, anil=True)
+        opt = optax.adam(3e-3)
+        step = adapt.make_meta_step(fa, opt)
+        opt_state = opt.init(params)
+        key = jax.random.key(1)
+        for i in range(20):
+            key, k = jax.random.split(key)
+            data, labels = tasks.sample_task_batch(k, train, 5, 1, 8)
+            params, opt_state, m = step(params, opt_state, data, labels)
+        evaluate = adapt.make_meta_eval(fa)
+        data, labels = tasks.sample_task_batch(jax.random.key(9), test, 5, 1, 16)
+        assert float(evaluate(params, data, labels)["metric"]) > 0.5
