@@ -1,0 +1,149 @@
+"""Continual-learning transfer experiments (vision + RL).
+
+Rebuild of reference ``misc_scripts/cl_vision.py`` / ``cl_rl.py``: adapt a
+fresh copy of the meta-trained model on task i, evaluate it on every task
+j, collect the NxN matrix, and compute the CL metrics (ops/cl_metrics.py).
+
+Vision settings (reference cl_vision.py:3-6):
+  1 — evaluate on the SAME samples used for adaptation;
+  2 — evaluate on held-out query samples of the same classes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exploring_meta_tpu.adapt.maml import inner_sgd
+from exploring_meta_tpu.ops.cl_metrics import calc_cl_metrics
+from exploring_meta_tpu.ops.losses import accuracy, cross_entropy
+from exploring_meta_tpu.tasks.sampler import sample_task, split_support_query
+from exploring_meta_tpu import rl as rl_mod
+
+
+def save_acc_matrix(path: str, acc_matrix, name: str = "acc_matrix") -> None:
+    np.savetxt(os.path.join(path, f"{name}.out"), np.asarray(acc_matrix),
+               fmt="%1.2f")
+
+
+def run_cl_exp(path, apply_fn: Callable, params, dataset, ways: int,
+               shots: int, key, cl_params: dict | None = None,
+               setting: int = 1) -> tuple:
+    """Vision CL experiment -> (acc_matrix, metrics dict).
+
+    ``apply_fn(params, x) -> logits`` (close over the model spec; for
+    ANIL pass a head-only apply plus pre-encoded features upstream).
+    """
+    cl_params = dict(cl_params or {"adapt_steps": 1, "inner_lr": 0.1,
+                                   "n_tasks": 10})
+    cl_path = os.path.join(path, "cl_exp")
+    os.makedirs(cl_path, exist_ok=True)
+
+    # Build the task pool.
+    pool = []
+    for _ in range(cl_params["n_tasks"]):
+        key, k = jax.random.split(key)
+        data, labels = sample_task(k, dataset.images, ways, shots,
+                                   dataset.invert, dataset.rotations)
+        support, query = split_support_query(data, labels, shots, ways)
+        pool.append({"adapt": support,
+                     "eval": support if setting == 1 else query})
+
+    def loss_fn(p, batch):
+        x, y = batch
+        return cross_entropy(apply_fn(p, x), y)
+
+    @jax.jit
+    def adapt_and_eval(params, adapt_batch, eval_batches):
+        adapted = inner_sgd(loss_fn, params, adapt_batch,
+                            cl_params["inner_lr"], cl_params["adapt_steps"])
+        return jax.vmap(
+            lambda b: accuracy(apply_fn(adapted, b[0]), b[1]))(eval_batches)
+
+    eval_stack = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[t["eval"] for t in pool])
+
+    n = cl_params["n_tasks"]
+    acc_matrix = np.zeros((n, n))
+    for i, task_i in enumerate(pool):
+        acc_matrix[i] = np.asarray(
+            adapt_and_eval(params, task_i["adapt"], eval_stack))
+
+    cl_res = calc_cl_metrics(acc_matrix)
+    save_acc_matrix(cl_path, acc_matrix)
+    with open(os.path.join(cl_path, "cl_params.json"), "w") as f:
+        json.dump(cl_params, f, sort_keys=True, indent=4)
+    with open(os.path.join(cl_path, "cl_res.json"), "w") as f:
+        json.dump(cl_res, f, sort_keys=True, indent=4)
+    return acc_matrix, cl_res
+
+
+def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
+                  cfg: "rl_mod.RLConfig", key, n_tasks: int = 5,
+                  algo: str = "trpo", eval_batch_size: int | None = None,
+                  normalize_rewards: bool = False) -> tuple:
+    """RL CL experiment -> (rew_matrix, cl_res_rew, cl_res_suc).
+
+    Reference ``run_cl_rl_exp`` (cl_rl.py:26-153): per train-task i, adapt
+    a fresh copy of the policy (vpg/ppo/trpo inner updates), then roll out
+    the adapted policy on every task j.
+    """
+    cl_path = os.path.join(path, "cl_exp")
+    os.makedirs(cl_path, exist_ok=True)
+
+    key, tk = jax.random.split(key)
+    tasks = env.sample_tasks(tk, n_tasks)
+
+    @jax.jit
+    def adapt_on(task, k):
+        if algo == "vpg":
+            adapted, _, _ = rl_mod.fast_adapt_vpg(policy, params, rollout_fn,
+                                                  task, k, cfg)
+        elif algo == "ppo":
+            adapted, _, _ = rl_mod.fast_adapt_ppo(policy, params, rollout_fn,
+                                                  task, k, cfg)
+        else:
+            adapted, _, _, _ = rl_mod.fast_adapt_trpo(policy, params,
+                                                      rollout_fn, task, k,
+                                                      cfg)
+        return adapted
+
+    @jax.jit
+    def eval_on_all(adapted, k):
+        def one(task, kk):
+            traj = rollout_fn(adapted, task, kk)
+            rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
+            suc = jnp.mean(traj.episode_successes())
+            return rew, suc
+        keys = jax.random.split(k, n_tasks)
+        return jax.vmap(one)(tasks, keys)
+
+    rew_matrix = np.zeros((n_tasks, n_tasks))
+    suc_matrix = np.zeros((n_tasks, n_tasks))
+    for i in range(n_tasks):
+        key, ka, ke = jax.random.split(key, 3)
+        task_i = jax.tree_util.tree_map(lambda x: x[i], tasks)
+        adapted = adapt_on(task_i, ka)
+        rews, sucs = eval_on_all(adapted, ke)
+        rew_matrix[i] = np.asarray(rews)
+        suc_matrix[i] = np.asarray(sucs)
+
+    if normalize_rewards:  # reference cl_rl.py:127-133 (sklearn normalize)
+        norms = np.linalg.norm(rew_matrix, axis=1, keepdims=True)
+        rew_matrix = rew_matrix / np.maximum(norms, 1e-12)
+
+    cl_res_rew = calc_cl_metrics(rew_matrix)
+    cl_res_suc = calc_cl_metrics(suc_matrix)
+
+    save_acc_matrix(cl_path, rew_matrix, name="cl_rew_matrix")
+    save_acc_matrix(cl_path, suc_matrix, name="cl_suc_matrix")
+    with open(os.path.join(cl_path, "cl_res_rew.json"), "w") as f:
+        json.dump(cl_res_rew, f, sort_keys=True, indent=4)
+    with open(os.path.join(cl_path, "cl_res_suc.json"), "w") as f:
+        json.dump(cl_res_suc, f, sort_keys=True, indent=4)
+    return rew_matrix, cl_res_rew, cl_res_suc

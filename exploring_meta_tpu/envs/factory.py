@@ -1,0 +1,48 @@
+"""Name-routed environment factory (reference ``utils/env_maker.py``).
+
+``Particles2D-v1`` is a pure-JAX device env (rollouts compile into the
+learner's XLA program); ``AntDirection-v1`` and Meta-World benchmarks run
+host-side physics behind :class:`~exploring_meta_tpu.envs.host.HostVecEnv`.
+"""
+
+from __future__ import annotations
+
+from exploring_meta_tpu.envs.particles2d import Particles2D
+
+
+def make_env(name: str, workers: int = 1, seed: int = 42,
+             test: bool = False, max_path_length: int = 150):
+    """-> (env, is_device_env). ``workers`` = parallel episode slots for
+    host envs (the reference's AsyncVectorEnv worker count,
+    env_maker.py:18-21)."""
+    if name.startswith("Particles2D"):
+        return Particles2D(), True
+
+    if name.startswith("AntDirection"):
+        from exploring_meta_tpu.envs.host import AntDirectionEnv, HostVecEnv
+        return HostVecEnv(lambda: AntDirectionEnv(seed=seed), workers), False
+
+    if name.startswith("ML"):
+        from exploring_meta_tpu.envs.host import HostVecEnv
+        from exploring_meta_tpu.envs.metaworld_adapter import MetaWorldEnv
+        if name.startswith("ML1_"):
+            bench, task_name = "ML1", name[4:]
+        else:
+            bench, task_name = name, None
+        return HostVecEnv(
+            lambda: MetaWorldEnv(bench, task_name, seed=seed, test=test,
+                                 max_path_length=max_path_length),
+            workers), False
+
+    raise ValueError(f"unknown environment {name!r}")
+
+
+def calculate_samples_seen(max_path_length: int, episodes: int,
+                           adapt_steps: int, meta_batch_size: int,
+                           num_iterations: int) -> int:
+    """Sample-budget calculator (reference ``env_maker.py:63-72``):
+    samples/iter = steps x episodes x (adapt_steps + 1) x tasks."""
+    per_iter = max_path_length * episodes * (adapt_steps + 1) * meta_batch_size
+    total = per_iter * num_iterations
+    print(f"Samples per iteration: {per_iter}; total: {total}")
+    return total

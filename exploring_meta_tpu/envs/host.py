@@ -1,0 +1,175 @@
+"""Host-side physics environments behind the device rollout contract.
+
+MuJoCo physics cannot run on TPU, so these envs follow the SURVEY.md §7.7
+split: the policy lives on device; a host worker steps the C physics and
+the finished batch is shipped to the device as one fixed-shape
+:class:`~exploring_meta_tpu.rl.rollout.Trajectory` — one host->device
+transfer per rollout instead of the reference's per-step subprocess IPC
+(``utils/env_maker.py:18-21,42-45``).
+
+``HostVecEnv`` replaces l2l's ``AsyncVectorEnv`` + cherry ``Runner``. The
+per-step policy evaluation runs on device through a jitted action fn with
+host-side observation batching (E envs stepped lockstep).
+
+Envs provided:
+- ``AntDirectionEnv``  — gymnasium MuJoCo Ant with direction-reward tasks
+  (l2l's ``AntDirection-v1``: reward = velocity along a task direction
+  + survival - control/contact costs).
+- Meta-World ML1/ML10/ML45 via :mod:`exploring_meta_tpu.envs.metaworld_adapter`
+  (gated on the ``metaworld`` package).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exploring_meta_tpu.rl.rollout import Trajectory
+
+
+class AntDirectionEnv:
+    """AntDirection-v1 semantics on gymnasium's MuJoCo Ant.
+
+    A task is a 2D unit direction; forward reward is the velocity
+    component along it (reference env: l2l.gym AntDirectionEnv, requested
+    at ``utils/env_maker.py:7``).
+    """
+
+    def __init__(self, seed: int = 42):
+        import gymnasium as gym
+        self._gym = gym
+        self._env = gym.make("Ant-v5",
+                             exclude_current_positions_from_observation=True)
+        self._seed = seed
+        self._task = np.array([1.0, 0.0])
+        self.obs_size = int(np.prod(self._env.observation_space.shape))
+        self.action_size = int(np.prod(self._env.action_space.shape))
+        self._act_low = self._env.action_space.low
+        self._act_high = self._env.action_space.high
+        self._rng = np.random.default_rng(seed)
+
+    # MetaEnv task API (l2l parity: sample_tasks / set_task)
+    def sample_tasks(self, key, n: int) -> np.ndarray:
+        del key  # host RNG; device keys are for device envs
+        theta = self._rng.uniform(0, 2 * np.pi, size=n)
+        return np.stack([np.cos(theta), np.sin(theta)], axis=1)
+
+    def set_task(self, task) -> None:
+        self._task = np.asarray(task)
+
+    def reset(self, seed: int | None = None):
+        obs, _ = self._env.reset(seed=seed)
+        return obs
+
+    def step(self, action):
+        # ActionSpaceScaler parity (reference env_maker.py:15,39): the raw
+        # Gaussian sample is stored for log-probs, but the physics sees an
+        # action clamped to the space bounds — otherwise MuJoCo diverges.
+        action = np.clip(np.asarray(action), self._act_low, self._act_high)
+        obs, _, terminated, truncated, info = self._env.step(action)
+        # Direction-projected forward reward replaces the default x-velocity
+        # reward; control/contact costs and survival bonus are kept.
+        vel = np.array([info.get("x_velocity", 0.0),
+                        info.get("y_velocity", 0.0)])
+        fwd = float(vel @ self._task)
+        ctrl_cost = float(info.get("reward_ctrl", 0.0))   # negative
+        contact_cost = float(info.get("reward_contact", 0.0))  # negative
+        survive = float(info.get("reward_survive", 0.0))
+        reward = fwd + ctrl_cost + contact_cost + survive
+        done = bool(terminated)
+        success = 0.0
+        return obs, reward, done, truncated, success
+
+
+class HostVecEnv:
+    """Step E host envs in lockstep and emit a device Trajectory.
+
+    The AsyncVectorEnv replacement: with one host core (this machine) the
+    envs run sequentially; the interface leaves room for a process/thread
+    pool or the C++ rollout service without changing callers.
+    """
+
+    def __init__(self, env_factory: Callable[[], object], n_envs: int):
+        self.envs = [env_factory() for _ in range(n_envs)]
+        self.n_envs = n_envs
+        e = self.envs[0]
+        self.obs_size = e.obs_size
+        self.action_size = e.action_size
+
+    def sample_tasks(self, key, n: int):
+        return self.envs[0].sample_tasks(key, n)
+
+    def set_task(self, task) -> None:
+        for e in self.envs:
+            e.set_task(task)
+
+    def collect(self, action_fn: Callable, key, horizon: int,
+                seed: int | None = None) -> Trajectory:
+        """Roll all E envs for ``horizon`` steps.
+
+        ``action_fn(key, obs_batch [E, obs]) -> actions [E, act]`` — a
+        jitted device function closed over the policy params; obs cross
+        the host->device boundary once per step, batched over E.
+        """
+        E, T = self.n_envs, horizon
+        obs = np.stack([e.reset(seed=seed) for e in self.envs])
+        states = np.zeros((T, E, self.obs_size), np.float32)
+        next_states = np.zeros_like(states)
+        actions = np.zeros((T, E, self.action_size), np.float32)
+        rewards = np.zeros((T, E), np.float32)
+        dones = np.zeros((T, E), np.float32)
+        successes = np.zeros((T, E), np.float32)
+        valids = np.zeros((T, E), np.float32)
+        timesteps = np.zeros((T, E), np.int32)
+
+        alive = np.ones(E, bool)
+        t_in_ep = np.zeros(E, np.int32)
+        keys = jax.random.split(key, T)
+        for t in range(T):
+            acts = np.asarray(action_fn(keys[t], jnp.asarray(obs)))
+            states[t] = obs
+            actions[t] = acts
+            timesteps[t] = t_in_ep
+            valids[t] = alive.astype(np.float32)
+            for i, env in enumerate(self.envs):
+                if not alive[i]:
+                    next_states[t, i] = obs[i]
+                    dones[t, i] = 1.0
+                    continue
+                o2, r, done, truncated, suc = env.step(acts[i])
+                next_states[t, i] = o2
+                rewards[t, i] = r
+                successes[t, i] = suc
+                dones[t, i] = 1.0 if (done or t == T - 1) else 0.0
+                if done:
+                    alive[i] = False
+                else:
+                    obs[i] = o2
+                    t_in_ep[i] += 1
+
+        return Trajectory(
+            state=jnp.asarray(states), action=jnp.asarray(actions),
+            reward=jnp.asarray(rewards), done=jnp.asarray(dones),
+            next_state=jnp.asarray(next_states),
+            success=jnp.asarray(successes), valid=jnp.asarray(valids),
+            timestep=jnp.asarray(timesteps))
+
+
+def make_host_rollout(vec_env: HostVecEnv, policy, horizon: int):
+    """Rollout closure with the device-env signature:
+    ``(params, task, key) -> Trajectory``. The action fn is jitted once;
+    params are closed over per call (donated on device)."""
+
+    @jax.jit
+    def action_fn(params, key, obs):
+        return policy.sample(params, key, obs)
+
+    def roll(params, task, key):
+        vec_env.set_task(np.asarray(task))
+        return vec_env.collect(
+            lambda k, o: action_fn(params, k, o), key, horizon)
+
+    return roll

@@ -29,15 +29,22 @@ def linear_value_features(states: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.nd
 
 
 def fit_linear_value(states: jnp.ndarray, timesteps: jnp.ndarray,
-                     returns: jnp.ndarray, reg: float = 1e-5) -> jnp.ndarray:
+                     returns: jnp.ndarray, reg: float = 1e-5,
+                     weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Ridge least-squares fit; returns weights ``[D, 1]``.
 
-    Solves ``(F^T F + reg*I) w = F^T R``. Wrapped in ``stop_gradient`` so
-    meta-gradients never flow through the fit (parity with the reference,
-    where ``baseline.fit`` mutates weights outside autograd).
+    Solves ``(F^T W F + reg*I) w = F^T W R``. ``weights`` (e.g. a validity
+    mask for fixed-shape rollouts) lets padded steps drop out of the fit.
+    Wrapped in ``stop_gradient`` so meta-gradients never flow through the
+    fit (parity with the reference, where ``baseline.fit`` mutates weights
+    outside autograd).
     """
     f = linear_value_features(states, timesteps)
     r = returns.reshape(-1, 1).astype(f.dtype)
+    if weights is not None:
+        sw = jnp.sqrt(weights.reshape(-1, 1).astype(f.dtype))
+        f = f * sw
+        r = r * sw
     a = f.T @ f + reg * jnp.eye(f.shape[1], dtype=f.dtype)
     b = f.T @ r
     w = jnp.linalg.solve(a, b)

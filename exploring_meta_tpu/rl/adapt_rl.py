@@ -1,0 +1,250 @@
+"""Meta-RL algorithm core: VPG / PPO / TRPO fast-adaptation.
+
+Functional rebuild of reference ``core_functions/rl.py:199-406``. Each
+``fast_adapt_*`` interleaves on-policy rollouts with inner-loop parameter
+updates, exactly like the reference, but as one traced program: rollouts
+are ``lax.scan`` (device envs), updates are functional SGD, and the
+returned query loss is differentiable for the outer step (PPO/VPG paths)
+or paired with stored replays for TRPO's replay-and-rederive outer step
+(see trpo_meta.py).
+
+Masking: the reference's replays contain only real steps; our fixed-shape
+trajectories carry a ``valid`` mask instead, and every reduction here is
+valid-weighted. Sampled actions are stop-gradiented at collection
+(rollout.py) so no reparameterization path leaks through the env —
+matching torch's ``.sample()``.
+
+ANIL (reference ``turn_off_body_grads``, policies.py:94-106): inner-loop
+losses stop-gradient the body features AND the inner update only moves
+head/sigma leaves; query losses use the full graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from exploring_meta_tpu.models.policies import DiagNormalPolicyANIL
+from exploring_meta_tpu.ops.gae import compute_advantages, discount
+from exploring_meta_tpu.ops.losses import magic_box, weighted_cumsum
+from exploring_meta_tpu.ops.value import fit_linear_value, linear_value
+from exploring_meta_tpu.rl.rollout import Trajectory
+
+
+class RLConfig(NamedTuple):
+    """Hyperparameters shared by the RL fast-adapt paths (the reference's
+    per-script ``params`` dict, e.g. rl/maml_trpo.py:19-40)."""
+    inner_lr: float = 0.1
+    gamma: float = 0.99
+    tau: float = 1.0
+    adapt_steps: int = 1
+    adapt_batch_size: int = 20    # episodes per rollout
+    max_path_length: int = 100    # horizon
+    ppo_epochs: int = 3
+    ppo_clip_ratio: float = 0.3
+    anil: bool = False
+    first_order: bool = False
+
+
+def masked_mean(x, mask):
+    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def masked_normalize(x, mask, epsilon: float = 1e-8):
+    """(x - mean)/(std + eps) over valid entries, Bessel-corrected
+    (``ch.normalize`` on a real-steps-only replay)."""
+    n = jnp.maximum(jnp.sum(mask), 2.0)
+    mean = masked_mean(x, mask)
+    var = jnp.sum(((x - mean) ** 2) * mask) / (n - 1.0)
+    return (x - mean) / (jnp.sqrt(var) + epsilon)
+
+
+def traj_advantages(traj: Trajectory, cfg: RLConfig, update_vf: bool = True,
+                    baseline_w=None):
+    """GAE advantages for a trajectory, fitting the linear baseline on
+    discounted returns first (reference ``compute_advantages``,
+    rl.py:95-110). -> (advantages [T,E], baseline_w)."""
+    returns = discount(cfg.gamma, traj.reward, traj.done)
+    flat_states = traj.flat(traj.state)
+    flat_t = traj.flat(traj.timestep)
+    if update_vf or baseline_w is None:
+        baseline_w = fit_linear_value(flat_states, flat_t,
+                                      traj.flat(returns),
+                                      weights=traj.flat(traj.valid))
+    shape = traj.reward.shape
+    values = linear_value(baseline_w, flat_states, flat_t).reshape(shape)
+    next_values = linear_value(baseline_w, traj.flat(traj.next_state),
+                               flat_t + 1).reshape(shape)
+    adv = compute_advantages(cfg.tau, cfg.gamma, traj.reward, traj.done,
+                             values, next_values)
+    return adv, baseline_w
+
+
+def _log_prob(policy, params, traj: Trajectory, inner_anil: bool):
+    """[T*E, 1] action log-probs (mean over action dims, the reference's
+    policies.py:54-56 quirk)."""
+    s = traj.flat(traj.state)
+    a = traj.flat(traj.action)
+    if inner_anil and isinstance(policy, DiagNormalPolicyANIL):
+        return policy.log_prob(params, s, a, stop_body_grad=True)
+    return policy.log_prob(params, s, a)
+
+
+def policy_anil_mask(params) -> Any:
+    """Trainable mask for ANIL policies: adapt head + sigma, freeze body."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(getattr(p, "key", None) in ("head", "sigma")
+                            for p in path), params)
+
+
+def _inner_update(policy, params, loss_fn, cfg: RLConfig):
+    """One MAML inner step on an RL loss (reference ``trpo_update`` /
+    ``learner.adapt``): ``p' = p - inner_lr * g`` with optional ANIL mask
+    and first-order stop-gradient."""
+    grads = jax.grad(loss_fn)(params)
+    if cfg.first_order:
+        grads = jax.lax.stop_gradient(grads)
+    if cfg.anil:
+        mask = policy_anil_mask(params)
+        grads = jax.tree_util.tree_map(
+            lambda m, g: jnp.where(m, g, jnp.zeros_like(g)), mask, grads)
+    return jax.tree_util.tree_map(lambda p, g: p - cfg.inner_lr * g,
+                                  params, grads)
+
+
+# --------------------------------------------------------------------------
+# A2C / VPG
+# --------------------------------------------------------------------------
+
+def vpg_a2c_loss(policy, params, traj: Trajectory, cfg: RLConfig,
+                 inner_anil: bool = False, dice: bool = False):
+    """Masked ``-(log pi * A).mean()`` with GAE advantages (reference
+    ``vpg_a2c_loss``, rl.py:208-226; DiCE variant :219-224)."""
+    log_probs = _log_prob(policy, params, traj, inner_anil)
+    adv, _ = traj_advantages(traj, cfg)
+    adv = traj.flat(adv)[:, None]
+    valid = traj.flat(traj.valid)[:, None]
+    if dice:
+        dones = traj.flat(traj.done)[:, None]
+        weights = jnp.ones_like(dones)
+        weights = weights.at[1:].add(-dones[:-1])
+        weights = weights / jnp.sum(dones)
+        log_probs = magic_box(weighted_cumsum(log_probs, weights))
+    return -masked_mean(log_probs * adv, valid)
+
+
+def fast_adapt_vpg(policy, params, rollout_fn: Callable, task, key,
+                   cfg: RLConfig, dice: bool = False):
+    """-> (adapted_params, differentiable query loss, query_rew,
+    query_success_rate). Reference ``fast_adapt_vpg`` rl.py:229-254."""
+    for _ in range(cfg.adapt_steps):
+        key, k = jax.random.split(key)
+        support = rollout_fn(params, task, k)
+        loss_fn = lambda p: vpg_a2c_loss(policy, p, support, cfg,
+                                         inner_anil=cfg.anil, dice=dice)
+        params = _inner_update(policy, params, loss_fn, cfg)
+
+    key, k = jax.random.split(key)
+    query = rollout_fn(params, task, k)
+    valid_loss = vpg_a2c_loss(policy, params, query, cfg)
+    return params, valid_loss, _query_metrics(query)
+
+
+def _query_metrics(query: Trajectory):
+    rew = jnp.sum(query.reward * query.valid) / query.n_episodes
+    suc = jnp.mean(query.episode_successes())
+    return {"reward": rew, "success": suc}
+
+
+# --------------------------------------------------------------------------
+# PPO
+# --------------------------------------------------------------------------
+
+def _ppo_clip_loss(policy, params, traj, adv_flat, old_log_probs, cfg,
+                   inner_anil: bool):
+    new_lp = _log_prob(policy, params, traj, inner_anil)
+    ratio = jnp.exp(new_lp - old_log_probs)
+    obj = ratio * adv_flat
+    clipped = jnp.clip(ratio, 1 - cfg.ppo_clip_ratio,
+                       1 + cfg.ppo_clip_ratio) * adv_flat
+    valid = traj.flat(traj.valid)[:, None]
+    return -masked_mean(jnp.minimum(obj, clipped), valid)
+
+
+def fast_adapt_ppo(policy, params, rollout_fn: Callable, task, key,
+                   cfg: RLConfig):
+    """PPO inner loop with differentiable query loss (reference
+    ``fast_adapt_ppo`` rl.py:264-316; the outer Adam step differentiates
+    through all ``ppo_epochs`` inner updates, maml_ppo.py:128-130)."""
+    for _ in range(cfg.adapt_steps):
+        key, k = jax.random.split(key)
+        support = rollout_fn(params, task, k)
+        adv, _ = traj_advantages(support, cfg)
+        adv_flat = jax.lax.stop_gradient(
+            masked_normalize(support.flat(adv), support.flat(support.valid))
+        )[:, None]
+        old_lp = jax.lax.stop_gradient(
+            _log_prob(policy, params, support, cfg.anil))
+        for _ in range(cfg.ppo_epochs):
+            loss_fn = lambda p: _ppo_clip_loss(policy, p, support, adv_flat,
+                                               old_lp, cfg, cfg.anil)
+            params = _inner_update(policy, params, loss_fn, cfg)
+
+    key, k = jax.random.split(key)
+    query = rollout_fn(params, task, k)
+    adv, _ = traj_advantages(query, cfg)
+    adv_flat = jax.lax.stop_gradient(
+        masked_normalize(query.flat(adv), query.flat(query.valid)))[:, None]
+    old_lp = jax.lax.stop_gradient(_log_prob(policy, params, query, False))
+    valid_loss = _ppo_clip_loss(policy, params, query, adv_flat, old_lp,
+                                cfg, False)
+    return params, valid_loss, _query_metrics(query)
+
+
+# --------------------------------------------------------------------------
+# TRPO inner loop (outer step in trpo_meta.py)
+# --------------------------------------------------------------------------
+
+def trpo_a2c_loss(policy, params, traj: Trajectory, cfg: RLConfig,
+                  update_vf: bool = True, inner_anil: bool = False):
+    """A2C surrogate with *normalized, detached* advantages (reference
+    ``trpo_a2c_loss`` rl.py:346-358)."""
+    log_probs = _log_prob(policy, params, traj, inner_anil)
+    adv, _ = traj_advantages(traj, cfg, update_vf=update_vf)
+    valid = traj.flat(traj.valid)[:, None]
+    adv = jax.lax.stop_gradient(
+        masked_normalize(traj.flat(adv), traj.flat(traj.valid)))[:, None]
+    return -masked_mean(log_probs * adv, valid)
+
+
+def trpo_update(policy, params, traj: Trajectory, cfg: RLConfig,
+                first_order: bool | None = None):
+    """One TRPO-style inner MAML step (reference ``trpo_update``
+    rl.py:361-374)."""
+    step_cfg = cfg if first_order is None else cfg._replace(
+        first_order=first_order)
+    loss_fn = lambda p: trpo_a2c_loss(policy, p, traj, step_cfg,
+                                      inner_anil=step_cfg.anil)
+    return _inner_update(policy, params, loss_fn, step_cfg)
+
+
+def fast_adapt_trpo(policy, params, rollout_fn: Callable, task, key,
+                    cfg: RLConfig):
+    """-> (adapted_params, valid_loss, replay [Trajectory x (steps+1)],
+    query metrics). First-order inner updates during collection
+    (reference rl/maml_trpo.py:113); the second-order graph is rebuilt by
+    the outer step from the stored replay (rl.py:441-473)."""
+    replay = []
+    for _ in range(cfg.adapt_steps):
+        key, k = jax.random.split(key)
+        support = rollout_fn(params, task, k)
+        replay.append(support)
+        params = trpo_update(policy, params, support, cfg, first_order=True)
+
+    key, k = jax.random.split(key)
+    query = rollout_fn(params, task, k)
+    replay.append(query)
+    valid_loss = trpo_a2c_loss(policy, params, query, cfg, update_vf=False)
+    return params, valid_loss, replay, _query_metrics(query)

@@ -77,7 +77,7 @@ def _load_packed(path: str) -> np.ndarray | None:
 
 
 def load_omniglot(seed: int = 42, synthetic: bool | None = None,
-                  synthetic_classes: int = 60, synthetic_per_class: int = 20):
+                  synthetic_classes: int = 160, synthetic_per_class: int = 20):
     """-> (train, valid, test) PackedDatasets with the reference's
     1100/100/423 shuffled-class split (scaled proportionally when
     synthetic)."""

@@ -52,6 +52,10 @@ def sample_task(key, images: jnp.ndarray, ways: int, shots: int,
     in class-major order.
     """
     n_cls, n_per = images.shape[0], images.shape[1]
+    assert n_cls >= ways, (
+        f"dataset split has {n_cls} classes < ways={ways}")
+    assert n_per >= 2 * shots, (
+        f"dataset has {n_per} samples/class < 2*shots={2 * shots}")
     k_cls, k_smp, k_rot = jax.random.split(key, 3)
 
     cls_ids = _choice_no_replace(k_cls, n_cls, ways)                       # [ways]

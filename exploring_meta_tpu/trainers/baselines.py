@@ -1,0 +1,359 @@
+"""Non-meta baselines: plain PPO/TRPO, a random policy, supervised vision.
+
+Rebuilds of ``baselines/{ppo,trpo,random,vision}.py``: train one policy /
+classifier across tasks with NO inner loop, then meta-test it with
+few-step MAML adaptation post hoc (reference ``baselines/ppo.py:135-136``,
+``baselines/vision.py:141-143``) — the control experiments that show what
+meta-learning adds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from tqdm import trange
+
+from exploring_meta_tpu import adapt, models, rl, tasks
+from exploring_meta_tpu.ops.cg import conjugate_gradient
+from exploring_meta_tpu.ops.losses import accuracy, cross_entropy
+from exploring_meta_tpu.models.distributions import normal_kl, normal_log_prob
+from exploring_meta_tpu.trainers.rl import build_policy, make_device_env
+from exploring_meta_tpu.trainers.vision import _build_spec
+from exploring_meta_tpu.utils.config import RLScriptConfig, VisionConfig
+from exploring_meta_tpu.utils.experiment import Experiment
+
+
+# ---------------------------------------------------------------------------
+# RL baselines
+# ---------------------------------------------------------------------------
+
+class PPOBaseline(Experiment):
+    """Plain PPO across tasks (reference baselines/ppo.py)."""
+
+    def __init__(self, cfg: RLScriptConfig, path: str = "ppo_results/"):
+        super().__init__("ppo", cfg.env, cfg.to_params(), path=path,
+                         use_wandb=cfg.use_wandb)
+        self.cfg = cfg
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        env = make_device_env(cfg.env)
+        policy = build_policy(env, anil=False)
+        key = jax.random.key(cfg.seed)
+        key, ik = jax.random.split(key)
+        params = policy.init(ik)
+        opt = optax.adam(cfg.outer_lr)
+        opt_state = opt.init(params)
+
+        rl_cfg = rl.RLConfig(gamma=cfg.gamma, tau=cfg.tau,
+                             adapt_batch_size=cfg.adapt_batch_size,
+                             max_path_length=cfg.max_path_length,
+                             ppo_epochs=cfg.ppo_epochs,
+                             ppo_clip_ratio=cfg.ppo_clip_ratio)
+        roll = rl.make_rollout(env, policy.sample,
+                               episodes=cfg.adapt_batch_size,
+                               horizon=cfg.max_path_length)
+
+        @jax.jit
+        def ppo_step(params, opt_state, task, k):
+            traj = roll(params, task, k)
+            adv, _ = rl.traj_advantages(traj, rl_cfg)
+            adv_flat = jax.lax.stop_gradient(rl.masked_normalize(
+                traj.flat(adv), traj.flat(traj.valid)))[:, None]
+            old_lp = jax.lax.stop_gradient(policy.log_prob(
+                params, traj.flat(traj.state), traj.flat(traj.action)))
+            valid = traj.flat(traj.valid)[:, None]
+
+            def loss_fn(p):
+                new_lp = policy.log_prob(p, traj.flat(traj.state),
+                                         traj.flat(traj.action))
+                ratio = jnp.exp(new_lp - old_lp)
+                clipped = jnp.clip(ratio, 1 - rl_cfg.ppo_clip_ratio,
+                                   1 + rl_cfg.ppo_clip_ratio) * adv_flat
+                return -rl.masked_mean(jnp.minimum(ratio * adv_flat, clipped),
+                                       valid)
+
+            total = 0.0
+            for _ in range(rl_cfg.ppo_epochs):
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                total += loss
+            rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
+            return params, opt_state, total / rl_cfg.ppo_epochs, rew
+
+        t = trange(cfg.num_iterations)
+        iteration = 0
+        try:
+            for iteration in t:
+                key, tk = jax.random.split(key)
+                task_list = env.sample_tasks(tk, cfg.meta_batch_size)
+                iter_rew, iter_loss = 0.0, 0.0
+                for i in range(cfg.meta_batch_size):
+                    key, k = jax.random.split(key)
+                    task = jax.tree_util.tree_map(lambda x: x[i], task_list)
+                    params, opt_state, loss, rew = ppo_step(
+                        params, opt_state, task, k)
+                    iter_rew += float(rew)
+                    iter_loss += float(loss)
+                metrics = {"average_return": iter_rew / cfg.meta_batch_size,
+                           "loss": iter_loss / cfg.meta_batch_size}
+                t.set_postfix(metrics)
+                self.log_metrics(metrics)
+                if iteration % cfg.save_every == 0:
+                    self.save_model_checkpoint(params, iteration + 1)
+        except KeyboardInterrupt:
+            print("\nManually stopped training!\n")
+            self.logger["manually_stopped"] = True
+            self.params["num_iterations"] = iteration
+
+        self.save_model(params)
+        self.logger["elapsed_time"] = f"{round(t.format_dict['elapsed'], 2)} sec"
+
+        # Meta-test with few-step adaptation (reference ppo.py:135-136).
+        key, ek = jax.random.split(key)
+        adapt_cfg = rl_cfg._replace(inner_lr=cfg.inner_lr,
+                                    adapt_steps=cfg.adapt_steps)
+        final = rl.evaluate("ppo", policy, params, env, roll, adapt_cfg,
+                            n_tasks=cfg.n_eval_tasks, key=ek)
+        self.logger["test_reward"] = final["mean_reward"]
+        self.log_metrics({"test_reward": final["mean_reward"]})
+        self.save_logs_to_file()
+        return final
+
+
+class TRPOBaseline(Experiment):
+    """Plain single-task TRPO across tasks (reference baselines/trpo.py:
+    full KL/HVP/CG/line-search update per task batch)."""
+
+    def __init__(self, cfg: RLScriptConfig, path: str = "trpo_results/"):
+        super().__init__("trpo", cfg.env, cfg.to_params(), path=path,
+                         use_wandb=cfg.use_wandb)
+        self.cfg = cfg
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        env = make_device_env(cfg.env)
+        policy = build_policy(env, anil=False)
+        key = jax.random.key(cfg.seed)
+        key, ik = jax.random.split(key)
+        params = policy.init(ik)
+
+        rl_cfg = rl.RLConfig(gamma=cfg.gamma, tau=cfg.tau,
+                             adapt_batch_size=cfg.adapt_batch_size,
+                             max_path_length=cfg.max_path_length)
+        roll = rl.make_rollout(env, policy.sample,
+                               episodes=cfg.adapt_batch_size,
+                               horizon=cfg.max_path_length)
+
+        from jax.flatten_util import ravel_pytree
+
+        @jax.jit
+        def trpo_step(params, task, k):
+            traj = roll(params, task, k)
+            adv, _ = rl.traj_advantages(traj, rl_cfg)
+            adv_flat = jax.lax.stop_gradient(rl.masked_normalize(
+                traj.flat(adv), traj.flat(traj.valid)))[:, None]
+            states = traj.flat(traj.state)
+            actions = traj.flat(traj.action)
+            valid = traj.flat(traj.valid)[:, None]
+
+            flat0, unravel = ravel_pytree(params)
+            old_loc, old_scale = policy.density(params, states)
+            old_lp = jax.lax.stop_gradient(
+                jnp.mean(normal_log_prob(old_loc, old_scale, actions),
+                         axis=-1, keepdims=True))
+
+            def surrogate(flat):
+                p = unravel(flat)
+                loc, scale = policy.density(p, states)
+                new_lp = jnp.mean(normal_log_prob(loc, scale, actions),
+                                  axis=-1, keepdims=True)
+                return -rl.masked_mean(jnp.exp(new_lp - old_lp) * adv_flat,
+                                       valid)
+
+            def kl_fn(flat):
+                p = unravel(flat)
+                loc, scale = policy.density(p, states)
+                return rl.masked_mean(
+                    normal_kl(loc, scale,
+                              jax.lax.stop_gradient(old_loc),
+                              jax.lax.stop_gradient(old_scale)),
+                    jnp.broadcast_to(valid, loc.shape))
+
+            old_loss, grad = jax.value_and_grad(surrogate)(flat0)
+            grad_kl = jax.grad(kl_fn)
+
+            def Fvp(v):
+                _, hv = jax.jvp(grad_kl, (flat0,), (v,))
+                return hv + 1e-5 * v
+
+            step = conjugate_gradient(Fvp, grad)
+            shs = 0.5 * jnp.dot(step, Fvp(step))
+            step = step / jnp.sqrt(shs / cfg.max_kl)
+
+            def cond(s):
+                i, acc, _ = s
+                return jnp.logical_and(i < cfg.ls_max_steps,
+                                       jnp.logical_not(acc))
+
+            def body(s):
+                i, _, cur = s
+                size = (cfg.backtrack_factor ** i) * cfg.outer_lr
+                cand = flat0 - size * step
+                ok = jnp.logical_and(surrogate(cand) < old_loss,
+                                     kl_fn(cand) < cfg.max_kl)
+                return i + 1, ok, jnp.where(ok, cand, cur)
+
+            _, _, final = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32),
+                             jnp.zeros((), bool), flat0))
+            rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
+            return unravel(final), rew
+
+        t = trange(cfg.num_iterations)
+        iteration = 0
+        try:
+            for iteration in t:
+                key, tk = jax.random.split(key)
+                task_list = env.sample_tasks(tk, cfg.meta_batch_size)
+                iter_rew = 0.0
+                for i in range(cfg.meta_batch_size):
+                    key, k = jax.random.split(key)
+                    task = jax.tree_util.tree_map(lambda x: x[i], task_list)
+                    params, rew = trpo_step(params, task, k)
+                    iter_rew += float(rew)
+                metrics = {"average_return": iter_rew / cfg.meta_batch_size}
+                t.set_postfix(metrics)
+                self.log_metrics(metrics)
+                if iteration % cfg.save_every == 0:
+                    self.save_model_checkpoint(params, iteration + 1)
+        except KeyboardInterrupt:
+            print("\nManually stopped training!\n")
+            self.logger["manually_stopped"] = True
+            self.params["num_iterations"] = iteration
+
+        self.save_model(params)
+        self.logger["elapsed_time"] = f"{round(t.format_dict['elapsed'], 2)} sec"
+        key, ek = jax.random.split(key)
+        adapt_cfg = rl_cfg._replace(inner_lr=cfg.inner_lr,
+                                    adapt_steps=cfg.adapt_steps)
+        final = rl.evaluate("trpo", policy, params, env, roll, adapt_cfg,
+                            n_tasks=cfg.n_eval_tasks, key=ek)
+        self.logger["test_reward"] = final["mean_reward"]
+        self.save_logs_to_file()
+        return final
+
+
+class RandomPolicyBaseline(Experiment):
+    """Random policy control (reference baselines/random.py): evaluate an
+    untrained policy, with and without few-step adaptation."""
+
+    def __init__(self, cfg: RLScriptConfig, path: str = "random_results/"):
+        super().__init__("random", cfg.env, cfg.to_params(), path=path,
+                         use_wandb=cfg.use_wandb)
+        self.cfg = cfg
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        env = make_device_env(cfg.env)
+        policy = build_policy(env, anil=False)
+        key = jax.random.key(cfg.seed)
+        key, ik = jax.random.split(key)
+        params = policy.init(ik)
+        rl_cfg = rl.RLConfig(gamma=cfg.gamma, tau=cfg.tau,
+                             inner_lr=cfg.inner_lr,
+                             adapt_steps=cfg.adapt_steps,
+                             adapt_batch_size=cfg.adapt_batch_size,
+                             max_path_length=cfg.max_path_length)
+        roll = rl.make_rollout(env, policy.sample,
+                               episodes=cfg.adapt_batch_size,
+                               horizon=cfg.max_path_length)
+        key, ek = jax.random.split(key)
+        final = rl.evaluate("vpg", policy, params, env, roll, rl_cfg,
+                            n_tasks=cfg.n_eval_tasks, key=ek)
+        self.logger["test_reward"] = final["mean_reward"]
+        self.save_model(params)
+        self.save_logs_to_file()
+        return final
+
+
+# ---------------------------------------------------------------------------
+# Vision baseline
+# ---------------------------------------------------------------------------
+
+class VisionBaseline(Experiment):
+    """Supervised training on task batches, no inner loop; meta-tested with
+    post-hoc MAML adaptation (reference baselines/vision.py)."""
+
+    def __init__(self, cfg: VisionConfig, path: str = "results/"):
+        super().__init__("baseline", cfg.dataset, cfg.to_params(), path=path,
+                         use_wandb=cfg.use_wandb)
+        self.cfg = cfg
+
+    def run(self) -> float:
+        cfg = self.cfg
+        train_ds, valid_ds, test_ds = tasks.get_dataset(
+            cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
+        spec = _build_spec(cfg, anil=False)
+        key = jax.random.key(cfg.seed)
+        key, ik = jax.random.split(key)
+        params = models.init_cnn4(ik, spec)
+        opt = optax.adam(cfg.outer_lr)
+        opt_state = opt.init(params)
+        self.log_model(params)
+
+        @jax.jit
+        def sgd_step(params, opt_state, data_b, labels_b):
+            def loss_fn(p):
+                # one update per task batch (reference vision.py:92-103)
+                def per_batch(x, y):
+                    logits = models.cnn4_apply(p, spec, x)
+                    return cross_entropy(logits, y), accuracy(logits, y)
+                losses, accs = jax.vmap(per_batch)(data_b, labels_b)
+                return jnp.mean(losses), jnp.mean(accs)
+
+            (loss, acc), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, acc
+
+        n_batch_iter = max(1, int(320 / cfg.meta_batch_size))
+        t = trange(cfg.num_iterations)
+        iteration = 0
+        try:
+            for iteration in t:
+                key, k = jax.random.split(key)
+                data, labels = tasks.sample_task_batch(
+                    k, train_ds, cfg.ways, cfg.shots,
+                    cfg.meta_batch_size * n_batch_iter)
+                params, opt_state, loss, acc = sgd_step(params, opt_state,
+                                                        data, labels)
+                metrics = {"train_loss": float(loss),
+                           "train_acc": float(acc)}
+                t.set_postfix(metrics)
+                self.log_metrics(metrics)
+                if iteration % cfg.save_every == 0:
+                    self.save_model_checkpoint(params, iteration)
+        except KeyboardInterrupt:
+            print("\nManually stopped training!\n")
+            self.logger["manually_stopped"] = True
+            self.params["num_iterations"] = iteration
+
+        self.save_model(params)
+        self.logger["elapsed_time"] = f"{round(t.format_dict['elapsed'], 2)} sec"
+
+        # Meta-test with post-hoc MAML wrapping (reference vision.py:141-143)
+        fast_adapt = adapt.make_vision_fast_adapt(
+            spec, inner_lr=cfg.outer_lr, adapt_steps=1,
+            shots=cfg.shots, ways=cfg.ways)
+        meta_eval = adapt.make_meta_eval(fast_adapt)
+        key, k = jax.random.split(key)
+        data, labels = tasks.sample_task_batch(k, test_ds, cfg.ways,
+                                               cfg.shots, cfg.meta_batch_size)
+        test_acc = float(meta_eval(params, data, labels)["metric"])
+        print("Meta Test Accuracy", test_acc)
+        self.logger["test_acc"] = test_acc
+        self.save_logs_to_file()
+        return test_acc

@@ -1,0 +1,283 @@
+"""Meta-RL trainers: MAML/ANIL x TRPO/PPO/VPG.
+
+Equivalents of reference ``rl/maml_trpo.py``, ``rl/anil_trpo.py``,
+``rl/maml_ppo.py``, ``rl/anil_ppo.py``, ``rl/maml_vpg.py``-style loops:
+outer iterations sample a meta-batch of tasks, run per-task inner
+adaptation while collecting rollouts, then take the outer step — TRPO's
+natural-gradient replay step or Adam through the differentiable query
+losses (PPO/VPG). Device envs (Particles2D) run the entire iteration as
+compiled XLA programs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from tqdm import trange
+
+from exploring_meta_tpu import rl
+from exploring_meta_tpu.envs import Particles2D
+from exploring_meta_tpu.envs.factory import make_env
+from exploring_meta_tpu.models import DiagNormalPolicy, DiagNormalPolicyANIL
+from exploring_meta_tpu.rl.replay_meta import (
+    collect_replays, make_replay_meta_loss,
+)
+from exploring_meta_tpu.utils.config import RLScriptConfig
+from exploring_meta_tpu.utils.experiment import Experiment
+
+
+def make_device_env(name: str):
+    """Device-env factory (the pure-JAX half of reference
+    ``utils/env_maker.py:48-60``; host envs route through envs/host.py)."""
+    if name.startswith("Particles2D"):
+        return Particles2D()
+    raise ValueError(
+        f"{name!r} is not a device env — use envs.host for MuJoCo/Meta-World")
+
+
+def build_policy(env, anil: bool, fc_neurons: int = 100):
+    if anil:
+        return DiagNormalPolicyANIL(input_size=env.obs_size,
+                                    output_size=env.action_size,
+                                    fc_neurons=fc_neurons)
+    return DiagNormalPolicy(input_size=env.obs_size,
+                            output_size=env.action_size)
+
+
+class RLTrainer(Experiment):
+    """Meta-RL training loop for device envs."""
+
+    def __init__(self, cfg: RLScriptConfig, algo: str, anil: bool = False,
+                 path: str = "results/"):
+        name = f"{'anil' if anil else 'maml'}_{algo}"
+        super().__init__(name, cfg.env, cfg.to_params(), path=path,
+                         use_wandb=cfg.use_wandb)
+        self.cfg = cfg
+        self.algo = algo
+        self.anil = anil
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        env, is_device = make_env(cfg.env, workers=cfg.adapt_batch_size,
+                                  seed=cfg.seed,
+                                  max_path_length=cfg.max_path_length)
+        policy = build_policy(env, self.anil)
+        key = jax.random.key(cfg.seed)
+        key, ik = jax.random.split(key)
+        params = policy.init(ik)
+        self.log_model(params)
+
+        rl_cfg = rl.RLConfig(
+            inner_lr=cfg.inner_lr, gamma=cfg.gamma, tau=cfg.tau,
+            adapt_steps=cfg.adapt_steps,
+            adapt_batch_size=cfg.adapt_batch_size,
+            max_path_length=cfg.max_path_length,
+            ppo_epochs=cfg.ppo_epochs, ppo_clip_ratio=cfg.ppo_clip_ratio,
+            anil=self.anil)
+        if is_device:
+            roll = rl.make_rollout(env, policy.sample,
+                                   episodes=cfg.adapt_batch_size,
+                                   horizon=cfg.max_path_length)
+        else:
+            from exploring_meta_tpu.envs.host import make_host_rollout
+            roll = make_host_rollout(env, policy, cfg.max_path_length)
+
+        if self.algo == "trpo":
+            if is_device:
+                step_fn = self._make_trpo_iteration(env, policy, roll, rl_cfg)
+            else:
+                step_fn = self._make_host_trpo_iteration(env, policy, roll,
+                                                         rl_cfg)
+        elif is_device:
+            step_fn = self._make_adam_iteration(env, policy, roll, rl_cfg)
+        else:
+            step_fn = self._make_host_adam_iteration(env, policy, roll,
+                                                     rl_cfg)
+
+        t = trange(cfg.num_iterations)
+        iteration = 0
+        state = None
+        try:
+            for iteration in t:
+                key, k = jax.random.split(key)
+                params, state, metrics = step_fn(params, state, k)
+                t.set_postfix(metrics)
+                self.log_metrics(metrics)
+                if iteration % cfg.save_every == 0:
+                    self.save_model_checkpoint(params, iteration, rng_key=key)
+        except KeyboardInterrupt:
+            print("\nManually stopped training! Start evaluation & saving...\n")
+            self.logger["manually_stopped"] = True
+            self.params["num_iterations"] = iteration
+
+        self.save_model(params)
+        self.logger["elapsed_time"] = (
+            f"{round(t.format_dict['elapsed'], 2)} sec")
+
+        key, ek = jax.random.split(key)
+        final = rl.evaluate(self.algo, policy, params, env, roll, rl_cfg,
+                            n_tasks=cfg.n_eval_tasks, key=ek,
+                            device_env=is_device)
+        print("Final evaluation:", final["mean_reward"],
+              "success:", final["mean_success"])
+        self.logger["final_eval"] = final
+        self.log_metrics({"eval_reward": final["mean_reward"],
+                          "eval_success": final["mean_success"]})
+        self.save_logs_to_file()
+        return final
+
+    # -- TRPO outer step ---------------------------------------------------
+
+    def _make_trpo_iteration(self, env, policy, roll, rl_cfg):
+        cfg = self.cfg
+        trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
+                                 ls_max_steps=cfg.ls_max_steps,
+                                 backtrack_factor=cfg.backtrack_factor)
+        meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
+                                           adapt_steps=cfg.adapt_steps)
+
+        @jax.jit
+        def collect(params, tasks_batch, keys):
+            def per_task(task, k):
+                adapted, loss, replay, m = rl.fast_adapt_trpo(
+                    policy, params, roll, task, k, rl_cfg)
+                stacked_replay = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *replay)
+                return adapted, loss, stacked_replay, m
+
+            return jax.vmap(per_task)(tasks_batch, keys)
+
+        def iteration(params, _, key):
+            k_tasks, k_adapt = jax.random.split(key)
+            tasks_batch = env.sample_tasks(k_tasks, cfg.meta_batch_size)
+            keys = jax.random.split(k_adapt, cfg.meta_batch_size)
+            old_params, losses, replays, metrics = collect(
+                params, tasks_batch, keys)
+            params, info = meta_step(params, old_params, replays)
+            return params, None, {
+                "adapt_reward": float(jnp.mean(metrics["reward"])),
+                "adapt_success": float(jnp.mean(metrics["success"])),
+                "meta_loss": float(info["old_loss"]),
+                "ls_accepted": bool(info["accepted"]),
+            }
+
+        return iteration
+
+    # -- host-env TRPO: eager collection, jitted replay outer step ----------
+
+    def _make_host_trpo_iteration(self, env, policy, roll, rl_cfg):
+        cfg = self.cfg
+        trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
+                                 ls_max_steps=cfg.ls_max_steps,
+                                 backtrack_factor=cfg.backtrack_factor)
+        meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
+                                           adapt_steps=cfg.adapt_steps)
+
+        def iteration(params, _, key):
+            key, tk = jax.random.split(key)
+            tasks_list = env.sample_tasks(tk, cfg.meta_batch_size)
+            replays, old_stack, rews, sucs = [], [], [], []
+            for task in tasks_list:
+                key, k = jax.random.split(key)
+                adapted, _, replay, m = rl.fast_adapt_trpo(
+                    policy, params, roll, task, k, rl_cfg)
+                replays.append(replay)
+                old_stack.append(adapted)
+                rews.append(float(m["reward"]))
+                sucs.append(float(m["success"]))
+            stacked = rl.stack_replays(replays)
+            old_params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                                *old_stack)
+            params, info = meta_step(params, old_params, stacked)
+            return params, None, {
+                "adapt_reward": sum(rews) / len(rews),
+                "adapt_success": sum(sucs) / len(sucs),
+                "meta_loss": float(info["old_loss"]),
+                "ls_accepted": bool(info["accepted"]),
+            }
+
+        return iteration
+
+    # -- host-env PPO/VPG: eager collection, jitted replay meta-grad --------
+
+    def _make_host_adam_iteration(self, env, policy, roll, rl_cfg):
+        cfg = self.cfg
+        opt = optax.adam(cfg.outer_lr)
+        meta_loss = make_replay_meta_loss(self.algo, policy, rl_cfg)
+
+        @jax.jit
+        def outer(params, opt_state, stacked_replays):
+            loss, grads = jax.value_and_grad(meta_loss)(params,
+                                                        stacked_replays)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def iteration(params, opt_state, key):
+            if opt_state is None:
+                opt_state = opt.init(params)
+            key, tk = jax.random.split(key)
+            tasks_list = env.sample_tasks(tk, cfg.meta_batch_size)
+            replays, rews, sucs = [], [], []
+            for task in tasks_list:
+                key, k = jax.random.split(key)
+                stacked, m = collect_replays(self.algo, policy, params,
+                                             roll, task, k, rl_cfg)
+                replays.append(stacked)
+                rews.append(float(m["reward"]))
+                sucs.append(float(m["success"]))
+            batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *replays)
+            params, opt_state, loss = outer(params, opt_state, batched)
+            return params, opt_state, {
+                "meta_loss": float(loss),
+                "adapt_reward": sum(rews) / len(rews),
+                "adapt_success": sum(sucs) / len(sucs),
+            }
+
+        return iteration
+
+    # -- Adam outer step (PPO / VPG) ----------------------------------------
+
+    def _make_adam_iteration(self, env, policy, roll, rl_cfg):
+        cfg = self.cfg
+        opt = optax.adam(cfg.outer_lr)
+        algo = self.algo
+
+        @jax.jit
+        def meta_step(params, opt_state, tasks_batch, keys):
+            def task_loss(p, task, k):
+                if algo == "ppo":
+                    _, loss, m = rl.fast_adapt_ppo(policy, p, roll, task, k,
+                                                   rl_cfg)
+                else:
+                    _, loss, m = rl.fast_adapt_vpg(policy, p, roll, task, k,
+                                                   rl_cfg)
+                return loss, m
+
+            def batch_loss(p):
+                losses, ms = jax.vmap(lambda t, k: task_loss(p, t, k))(
+                    tasks_batch, keys)
+                return jnp.mean(losses), ms
+
+            (loss, ms), grads = jax.value_and_grad(
+                batch_loss, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, ms
+
+        def iteration(params, opt_state, key):
+            if opt_state is None:
+                opt_state = opt.init(params)
+            k_tasks, k_adapt = jax.random.split(key)
+            tasks_batch = env.sample_tasks(k_tasks, cfg.meta_batch_size)
+            keys = jax.random.split(k_adapt, cfg.meta_batch_size)
+            params, opt_state, loss, ms = meta_step(params, opt_state,
+                                                    tasks_batch, keys)
+            return params, opt_state, {
+                "meta_loss": float(loss),
+                "adapt_reward": float(jnp.mean(ms["reward"])),
+                "adapt_success": float(jnp.mean(ms["success"])),
+            }
+
+        return iteration

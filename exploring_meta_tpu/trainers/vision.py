@@ -1,0 +1,113 @@
+"""MAML/ANIL few-shot vision trainers.
+
+Equivalent of reference ``vision/maml_vision.py`` / ``vision/anil_vision.py``
+with the same training semantics (per-iteration train+valid meta-batches,
+grad-averaged Adam outer step, checkpoint cadence, KeyboardInterrupt-safe
+finish, final meta-test) — but the meta-iteration is one jitted XLA
+program, optionally sharded over a device mesh (task-DP).
+"""
+
+from __future__ import annotations
+
+import jax
+import optax
+from tqdm import trange
+
+from exploring_meta_tpu import adapt, models, parallel, tasks
+from exploring_meta_tpu.utils.config import VisionConfig
+from exploring_meta_tpu.utils.experiment import Experiment
+
+
+def _build_spec(cfg: VisionConfig, anil: bool):
+    if cfg.dataset == "omni":
+        return (models.anil_omniglot_spec(cfg.ways) if anil
+                else models.omniglot_spec(cfg.ways))
+    if cfg.dataset == "min":
+        return (models.anil_mini_imagenet_spec(cfg.ways) if anil
+                else models.mini_imagenet_spec(cfg.ways))
+    raise SystemExit(f"Dataset not supported: {cfg.dataset}")
+
+
+class VisionTrainer(Experiment):
+    """Runs the full meta-training loop for MAML or ANIL vision."""
+
+    def __init__(self, cfg: VisionConfig, anil: bool = False,
+                 path: str = "results/"):
+        algo = "anil" if anil else "maml"
+        super().__init__(f"{algo}_{cfg.ways}w{cfg.shots}s", cfg.dataset,
+                         cfg.to_params(), path=path, use_wandb=cfg.use_wandb)
+        self.cfg = cfg
+        self.anil = anil
+
+    def run(self) -> float:
+        cfg = self.cfg
+        train_ds, valid_ds, test_ds = tasks.get_dataset(
+            cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
+
+        spec = _build_spec(cfg, self.anil)
+        key = jax.random.key(cfg.seed)
+        key, init_key = jax.random.split(key)
+        params = models.init_cnn4(init_key, spec)
+        self.log_model(params)
+
+        fast_adapt = adapt.make_vision_fast_adapt(
+            spec, inner_lr=cfg.inner_lr, adapt_steps=cfg.adapt_steps,
+            shots=cfg.shots, ways=cfg.ways, anil=self.anil)
+        opt = optax.adam(cfg.outer_lr)
+        opt_state = opt.init(params)
+
+        if cfg.mesh > 1:
+            mesh = parallel.make_task_mesh(cfg.mesh)
+            meta_step = parallel.make_sharded_meta_step(fast_adapt, opt, mesh)
+            place = lambda batch: parallel.shard_task_batch(mesh, batch)
+        else:
+            meta_step = adapt.make_meta_step(fast_adapt, opt)
+            place = lambda batch: batch
+        meta_eval = adapt.make_meta_eval(fast_adapt)
+
+        t = trange(cfg.num_iterations)
+        iteration = 0
+        try:
+            for iteration in t:
+                key, k_tr, k_va = jax.random.split(key, 3)
+                data, labels = place(tasks.sample_task_batch(
+                    k_tr, train_ds, cfg.ways, cfg.shots, cfg.meta_batch_size))
+                params, opt_state, train_m = meta_step(
+                    params, opt_state, data, labels)
+
+                v_data, v_labels = tasks.sample_task_batch(
+                    k_va, valid_ds, cfg.ways, cfg.shots, cfg.meta_batch_size)
+                valid_m = meta_eval(params, v_data, v_labels)
+
+                metrics = {
+                    "train_loss": float(train_m["loss"]),
+                    "train_acc": float(train_m["metric"]),
+                    "valid_loss": float(valid_m["loss"]),
+                    "valid_acc": float(valid_m["metric"]),
+                }
+                t.set_postfix(metrics)
+                self.log_metrics(metrics)
+
+                if iteration % cfg.save_every == 0:
+                    self.save_model_checkpoint(params, iteration,
+                                               opt_state=opt_state,
+                                               rng_key=key)
+        except KeyboardInterrupt:
+            print("\nManually stopped training! Start evaluation & saving...\n")
+            self.logger["manually_stopped"] = True
+            self.params["num_iterations"] = iteration
+
+        self.save_model(params)
+        self.logger["elapsed_time"] = (
+            f"{round(t.format_dict['elapsed'], 2)} sec")
+
+        key, k_te = jax.random.split(key)
+        t_data, t_labels = tasks.sample_task_batch(
+            k_te, test_ds, cfg.ways, cfg.shots, cfg.meta_batch_size)
+        test_m = meta_eval(params, t_data, t_labels)
+        test_acc = float(test_m["metric"])
+        print("Meta Test Accuracy", test_acc)
+        self.logger["test_acc"] = test_acc
+        self.log_metrics({"test_acc": test_acc})
+        self.save_logs_to_file()
+        return test_acc

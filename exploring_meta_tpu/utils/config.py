@@ -1,0 +1,125 @@
+"""Config/flag system with the reference's CLI surface.
+
+Every trainer preserves the reference flag names (SURVEY.md §5 config
+row): ``--dataset --ways --shots --outer_lr --inner_lr --adapt_steps
+--meta_batch_size --adapt_batch_size --num_iterations --save_every
+--seed --env`` (each script exposes the subset its reference counterpart
+does, plus TPU-specific extras like ``--synthetic`` and ``--mesh``).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class VisionConfig:
+    """Defaults = reference ``vision/maml_vision.py:15-25``."""
+    dataset: str = "omni"
+    ways: int = 5
+    shots: int = 1
+    outer_lr: float = 0.003
+    inner_lr: float = 0.5
+    adapt_steps: int = 1
+    meta_batch_size: int = 32
+    num_iterations: int = 5000
+    save_every: int = 1000
+    seed: int = 42
+    # TPU-native extras
+    synthetic: bool = False      # force synthetic data (hermetic envs)
+    mesh: int = 1                # devices for task-DP sharding
+    use_wandb: bool = False
+
+    def to_params(self) -> dict:
+        return asdict(self)
+
+
+def vision_argparser(defaults: VisionConfig,
+                     description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--dataset", type=str, default=defaults.dataset,
+                   help="Pick a dataset (omni | min)")
+    p.add_argument("--ways", type=int, default=defaults.ways,
+                   help="N-ways (classes)")
+    p.add_argument("--shots", type=int, default=defaults.shots,
+                   help="K-shots (samples per class)")
+    p.add_argument("--outer_lr", type=float, default=defaults.outer_lr,
+                   help="Outer lr")
+    p.add_argument("--inner_lr", type=float, default=defaults.inner_lr,
+                   help="Inner lr")
+    p.add_argument("--adapt_steps", type=int, default=defaults.adapt_steps,
+                   help="Adaptation steps in inner loop")
+    p.add_argument("--meta_batch_size", type=int,
+                   default=defaults.meta_batch_size, help="Batch size")
+    p.add_argument("--num_iterations", type=int,
+                   default=defaults.num_iterations, help="Number of epochs")
+    p.add_argument("--save_every", type=int, default=defaults.save_every,
+                   help="Interval to save model")
+    p.add_argument("--seed", type=int, default=defaults.seed, help="Seed")
+    p.add_argument("--synthetic", action="store_true",
+                   default=defaults.synthetic,
+                   help="Use synthetic data (no downloads)")
+    p.add_argument("--mesh", type=int, default=defaults.mesh,
+                   help="Devices for task-DP sharding")
+    p.add_argument("--wandb", dest="use_wandb", action="store_true",
+                   default=defaults.use_wandb)
+    return p
+
+
+@dataclass
+class RLScriptConfig:
+    """Defaults = reference ``rl/maml_trpo.py:19-40`` (TRPO) /
+    ``rl/maml_ppo.py`` (PPO fields)."""
+    env: str = "Particles2D-v1"
+    outer_lr: float = 0.1
+    inner_lr: float = 0.05
+    adapt_steps: int = 1
+    meta_batch_size: int = 20
+    adapt_batch_size: int = 20
+    num_iterations: int = 250
+    save_every: int = 25
+    seed: int = 42
+    gamma: float = 0.99
+    tau: float = 1.0
+    max_path_length: int = 100
+    # TRPO outer step
+    backtrack_factor: float = 0.5
+    ls_max_steps: int = 15
+    max_kl: float = 0.01
+    # PPO inner loop
+    ppo_epochs: int = 3
+    ppo_clip_ratio: float = 0.3
+    # extras
+    n_eval_tasks: int = 10
+    use_wandb: bool = False
+
+    def to_params(self) -> dict:
+        return asdict(self)
+
+
+def rl_argparser(defaults: RLScriptConfig,
+                 description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--env", type=str, default=defaults.env,
+                   help="Environment (Particles2D-v1 | AntDirection-v1 | "
+                        "ML1_<task> | ML10 | ML45)")
+    p.add_argument("--outer_lr", type=float, default=defaults.outer_lr)
+    p.add_argument("--inner_lr", type=float, default=defaults.inner_lr)
+    p.add_argument("--adapt_steps", type=int, default=defaults.adapt_steps)
+    p.add_argument("--meta_batch_size", type=int,
+                   default=defaults.meta_batch_size)
+    p.add_argument("--adapt_batch_size", type=int,
+                   default=defaults.adapt_batch_size)
+    p.add_argument("--num_iterations", type=int,
+                   default=defaults.num_iterations)
+    p.add_argument("--save_every", type=int, default=defaults.save_every)
+    p.add_argument("--seed", type=int, default=defaults.seed)
+    p.add_argument("--max_path_length", type=int,
+                   default=defaults.max_path_length)
+    p.add_argument("--gamma", type=float, default=defaults.gamma)
+    p.add_argument("--tau", type=float, default=defaults.tau)
+    p.add_argument("--n_eval_tasks", type=int, default=defaults.n_eval_tasks)
+    p.add_argument("--wandb", dest="use_wandb", action="store_true",
+                   default=defaults.use_wandb)
+    return p

@@ -1,0 +1,21 @@
+#!/usr/bin/env python3
+"""Plain PPO baseline (reference baselines/ppo.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+from exploring_meta_tpu.utils.config import RLScriptConfig, rl_argparser
+from exploring_meta_tpu.trainers.baselines import PPOBaseline
+
+
+def main():
+    defaults = RLScriptConfig()
+    args = rl_argparser(defaults, "Plain PPO baseline (reference baselines/ppo.py).").parse_args()
+    cfg = RLScriptConfig(**vars(args))
+    PPOBaseline(cfg).run()
+
+
+if __name__ == "__main__":
+    main()

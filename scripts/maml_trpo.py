@@ -1,0 +1,21 @@
+#!/usr/bin/env python3
+"""MAML-TRPO meta-RL (CLI parity with reference rl/maml_trpo.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from exploring_meta_tpu.utils.config import RLScriptConfig, rl_argparser
+from exploring_meta_tpu.trainers.rl import RLTrainer
+
+
+def main():
+    defaults = RLScriptConfig()
+    args = rl_argparser(defaults, "MAML-TRPO on Meta-RL").parse_args()
+    cfg = RLScriptConfig(**vars(args))
+    RLTrainer(cfg, algo="trpo", anil=False).run()
+
+
+if __name__ == "__main__":
+    main()
