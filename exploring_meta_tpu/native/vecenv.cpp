@@ -1,0 +1,254 @@
+// Native vectorized environment stepping service.
+//
+// TPU-native replacement for the reference's env parallelism
+// (l2l AsyncVectorEnv subprocess pool, utils/env_maker.py:18-21,42-45):
+// instead of one OS process + pipe round-trip per env per step, a thread
+// pool steps all E env instances inside one shared address space, and the
+// Python boundary is crossed ONCE per step for the whole batch (pointer
+// handoff of [E, obs]/[E, act] buffers, zero copies).
+//
+// The service is env-agnostic through a small C vtable; a C++ Particles2D
+// implementation is built in (bit-compatible with the pure-JAX device env
+// in envs/particles2d.py) both as the host fallback and as a validation
+// fixture for the protocol. External C envs can register through
+// vecenv_create_custom.
+//
+// C ABI only — bound from Python with ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Env vtable: any environment exposes these three functions over an opaque
+// per-instance state blob.
+// ---------------------------------------------------------------------------
+
+typedef void (*env_reset_fn)(void* state, const double* task, double* obs);
+// step: reads action, writes obs/reward/done/success; returns nothing.
+typedef void (*env_step_fn)(void* state, const double* action, double* obs,
+                            double* reward, double* done, double* success);
+
+struct EnvVTable {
+  env_reset_fn reset;
+  env_step_fn step;
+  int obs_size;
+  int action_size;
+  int state_bytes;
+};
+
+// ---------------------------------------------------------------------------
+// Built-in Particles2D (envs/particles2d.py parity: action clip 0.1,
+// reward = -dist(pos, goal), done at dist < 0.01, frozen after done).
+// ---------------------------------------------------------------------------
+
+struct P2DState {
+  double pos[2];
+  double goal[2];
+  double done;
+};
+
+static void p2d_reset(void* s, const double* task, double* obs) {
+  auto* st = reinterpret_cast<P2DState*>(s);
+  st->pos[0] = 0.0;
+  st->pos[1] = 0.0;
+  st->goal[0] = task[0];
+  st->goal[1] = task[1];
+  st->done = 0.0;
+  obs[0] = 0.0;
+  obs[1] = 0.0;
+}
+
+static void p2d_step(void* s, const double* action, double* obs,
+                     double* reward, double* done, double* success) {
+  auto* st = reinterpret_cast<P2DState*>(s);
+  const double kMaxAct = 0.1, kThresh = 0.01;
+  if (st->done < 0.5) {
+    for (int i = 0; i < 2; ++i) {
+      double a = action[i];
+      if (a > kMaxAct) a = kMaxAct;
+      if (a < -kMaxAct) a = -kMaxAct;
+      st->pos[i] += a;
+    }
+  }
+  double dx = st->pos[0] - st->goal[0];
+  double dy = st->pos[1] - st->goal[1];
+  double dist = std::sqrt(dx * dx + dy * dy);
+  *reward = -dist;
+  bool done_now = dist < kThresh;
+  if (done_now) st->done = 1.0;
+  *done = st->done;
+  *success = done_now ? 1.0 : 0.0;
+  obs[0] = st->pos[0];
+  obs[1] = st->pos[1];
+}
+
+// ---------------------------------------------------------------------------
+// Thread-pool batched stepper.
+// ---------------------------------------------------------------------------
+
+struct VecEnv {
+  EnvVTable vt;
+  int n_envs;
+  int n_threads;
+  std::vector<std::vector<uint8_t>> states;
+
+  // worker pool
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  std::function<void(int)> job;  // per-env job
+  std::atomic<int> next_env{0};
+  std::atomic<int> remaining{0};
+  uint64_t generation = 0;
+  bool shutdown = false;
+
+  explicit VecEnv(EnvVTable v, int envs, int threads)
+      : vt(v), n_envs(envs), n_threads(threads) {
+    states.resize(envs);
+    for (auto& s : states) s.assign(vt.state_bytes, 0);
+    for (int t = 0; t < n_threads; ++t) {
+      workers.emplace_back([this] { worker_loop(); });
+    }
+  }
+
+  ~VecEnv() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      shutdown = true;
+      ++generation;
+    }
+    cv_work.notify_all();
+    for (auto& w : workers) w.join();
+  }
+
+  void worker_loop() {
+    uint64_t seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return shutdown || generation != seen; });
+        if (shutdown) return;
+        seen = generation;
+      }
+      for (;;) {
+        int i = next_env.fetch_add(1);
+        if (i >= n_envs) break;
+        job(i);
+        if (remaining.fetch_sub(1) == 1) cv_done.notify_one();
+      }
+    }
+  }
+
+  void run_batch(std::function<void(int)> fn) {
+    if (n_threads == 0) {  // synchronous fallback
+      for (int i = 0; i < n_envs; ++i) fn(i);
+      return;
+    }
+    std::unique_lock<std::mutex> lk(mu);
+    job = std::move(fn);
+    next_env.store(0);
+    remaining.store(n_envs);
+    ++generation;
+    cv_work.notify_all();
+    cv_done.wait(lk, [&] { return remaining.load() == 0; });
+  }
+};
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+void* vecenv_create_particles2d(int n_envs, int n_threads) {
+  EnvVTable vt{p2d_reset, p2d_step, 2, 2, sizeof(P2DState)};
+  return new VecEnv(vt, n_envs, n_threads);
+}
+
+void* vecenv_create_custom(env_reset_fn reset, env_step_fn step,
+                           int obs_size, int action_size, int state_bytes,
+                           int n_envs, int n_threads) {
+  EnvVTable vt{reset, step, obs_size, action_size, state_bytes};
+  return new VecEnv(vt, n_envs, n_threads);
+}
+
+void vecenv_destroy(void* h) { delete reinterpret_cast<VecEnv*>(h); }
+
+int vecenv_obs_size(void* h) { return reinterpret_cast<VecEnv*>(h)->vt.obs_size; }
+int vecenv_action_size(void* h) {
+  return reinterpret_cast<VecEnv*>(h)->vt.action_size;
+}
+
+// tasks: [n_envs, task_dim] (broadcast row 0 if task_rows == 1)
+void vecenv_reset(void* h, const double* tasks, int task_rows, int task_dim,
+                  double* obs_out) {
+  auto* ve = reinterpret_cast<VecEnv*>(h);
+  ve->run_batch([=](int i) {
+    const double* task = tasks + (task_rows == 1 ? 0 : (size_t)i * task_dim);
+    ve->vt.reset(ve->states[i].data(), task,
+                 obs_out + (size_t)i * ve->vt.obs_size);
+  });
+}
+
+void vecenv_step(void* h, const double* actions, double* obs_out,
+                 double* rewards_out, double* dones_out,
+                 double* success_out) {
+  auto* ve = reinterpret_cast<VecEnv*>(h);
+  ve->run_batch([=](int i) {
+    ve->vt.step(ve->states[i].data(),
+                actions + (size_t)i * ve->vt.action_size,
+                obs_out + (size_t)i * ve->vt.obs_size,
+                rewards_out + i, dones_out + i, success_out + i);
+  });
+}
+
+// Full on-host rollout with a C policy callback: for envs whose physics
+// lives host-side AND whose policy is cheap enough to evaluate on host,
+// this removes even the per-step Python boundary.
+typedef void (*policy_fn)(const double* obs, int n_envs, int obs_size,
+                          double* actions_out, void* ctx);
+
+void vecenv_rollout(void* h, const double* tasks, int task_rows,
+                    int task_dim, int horizon, policy_fn policy, void* ctx,
+                    double* states_out, double* actions_out,
+                    double* rewards_out, double* dones_out,
+                    double* success_out, double* valid_out) {
+  auto* ve = reinterpret_cast<VecEnv*>(h);
+  int E = ve->n_envs, O = ve->vt.obs_size, A = ve->vt.action_size;
+  std::vector<double> obs((size_t)E * O), next_obs((size_t)E * O);
+  std::vector<double> was_done(E, 0.0);
+
+  vecenv_reset(h, tasks, task_rows, task_dim, obs.data());
+  for (int t = 0; t < horizon; ++t) {
+    double* acts = actions_out + (size_t)t * E * A;
+    policy(obs.data(), E, O, acts, ctx);
+    std::memcpy(states_out + (size_t)t * E * O, obs.data(),
+                sizeof(double) * E * O);
+    double* rew = rewards_out + (size_t)t * E;
+    double* don = dones_out + (size_t)t * E;
+    double* suc = success_out + (size_t)t * E;
+    double* val = valid_out + (size_t)t * E;
+    ve->run_batch([&, acts, rew, don, suc, val](int i) {
+      val[i] = was_done[i] < 0.5 ? 1.0 : 0.0;
+      ve->vt.step(ve->states[i].data(), acts + (size_t)i * A,
+                  next_obs.data() + (size_t)i * O, rew + i, don + i,
+                  suc + i);
+      if (was_done[i] > 0.5) {  // post-termination filler: zero out
+        rew[i] = 0.0;
+        suc[i] = 0.0;
+      }
+      if (don[i] > 0.5) was_done[i] = 1.0;
+      if (t == horizon - 1 && val[i] > 0.5) don[i] = 1.0;  // horizon-done
+    });
+    std::swap(obs, next_obs);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,122 @@
+"""Utils tests: plotters, profiling, experiment artifact contract, DiCE."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from exploring_meta_tpu import rl
+from exploring_meta_tpu.envs import Particles2D
+from exploring_meta_tpu.models import DiagNormalPolicy
+from exploring_meta_tpu.utils import plotter
+from exploring_meta_tpu.utils.profiling import PhaseTimer
+from exploring_meta_tpu.utils.experiment import Experiment
+
+
+class TestPlotter:
+    def test_plot_dict_saves_png(self, tmp_path):
+        plotter.plot_dict({"title": "Test Curve", "x_legend": "x",
+                           "y_legend": "y", "x_axis": [0, 1, 2],
+                           "y_axis": [1.0, 2.0, 1.5], "std": [0.1, 0.1, 0.1]},
+                          save=True, path=str(tmp_path))
+        assert os.path.exists(tmp_path / "Test_Curve.png")
+
+    def test_plot_dict_explicit(self, tmp_path):
+        plotter.plot_dict_explicit({"title": "Layers", "x_legend": "l",
+                                    "y_legend": "cca",
+                                    "y_axis": {"1": [0.9, 0.8], "4": [0.5, 0.4]}},
+                                   save=True, path=str(tmp_path))
+        assert os.path.exists(tmp_path / "Layers.png")
+
+    def test_bar_plot_ml10(self, tmp_path):
+        plotter.bar_plot_ml10({"reach": [10.0, 0.8], "push": [5.0, 0.2]},
+                              save_path=str(tmp_path / "bars.png"))
+        assert os.path.exists(tmp_path / "bars.png")
+
+    def test_confidence_band_across_runs(self, tmp_path):
+        for i in range(3):
+            d = tmp_path / f"run{i}"
+            os.makedirs(d)
+            with open(d / "metrics.json", "w") as f:
+                json.dump({"train_acc": [0.2 + 0.1 * i, 0.5, 0.7]}, f)
+        res = plotter.plot_runs_with_confidence(
+            [str(tmp_path / f"run{i}") for i in range(3)],
+            metric="train_acc", save_path=str(tmp_path / "conf.png"))
+        assert len(res["mean"]) == 3
+        assert res["mean"][1] == pytest.approx(0.5)
+        assert os.path.exists(tmp_path / "conf.png")
+
+
+class TestProfiling:
+    def test_phase_timer(self, tmp_path):
+        timer = PhaseTimer()
+        x = jnp.ones((100, 100))
+        with timer.phase("matmul", block_on=None):
+            y = x @ x
+        with timer.phase("matmul", block_on=y):
+            y = y @ x
+        s = timer.summary()
+        assert s["matmul"]["count"] == 2
+        assert s["matmul"]["total_s"] > 0
+        timer.save(str(tmp_path / "phases.json"))
+        assert os.path.exists(tmp_path / "phases.json")
+
+
+class TestExperimentContract:
+    def test_run_dir_and_artifacts(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        exp = Experiment("maml_5w1s", "omni", {"seed": 7}, path="results/")
+        assert os.path.isdir(os.path.join(exp.model_path, "model_checkpoints"))
+        # run-dir naming: <algo>_<dataset>_<date>_<seed>_<rand>
+        base = os.path.basename(exp.model_path)
+        assert base.startswith("maml_5w1s_omni_")
+        assert "_7_" in base
+
+        exp.log_metrics({"train_acc": 0.5})
+        exp.log_metrics({"train_acc": 0.6})
+        exp.logger["test_acc"] = 0.7
+        exp.save_logs_to_file()
+        with open(os.path.join(exp.model_path, "metrics.json")) as f:
+            assert json.load(f)["train_acc"] == [0.5, 0.6]
+        with open(os.path.join(exp.model_path, "logger.json")) as f:
+            logger = json.load(f)
+        assert logger["config"]["algo"] == "maml_5w1s"
+        assert logger["test_acc"] == 0.7
+
+    def test_acc_matrix_artifact(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        exp = Experiment("a", "b", {}, path="results/")
+        exp.save_acc_matrix(np.eye(3))
+        assert os.path.exists(os.path.join(exp.model_path, "acc_matrix.out"))
+
+
+class TestDiCE:
+    def test_dice_vpg_loss_differs_and_is_finite(self):
+        """The DiCE VPG variant (reference rl.py:219-224) must produce a
+        different (higher-order-correct) loss surface than plain a2c."""
+        env = Particles2D()
+        policy = DiagNormalPolicy(input_size=2, output_size=2,
+                                  hiddens=(16, 16))
+        params = policy.init(jax.random.key(0))
+        cfg = rl.RLConfig(adapt_batch_size=4, max_path_length=10)
+        roll = rl.make_rollout(env, policy.sample, episodes=4, horizon=10)
+        task = env.sample_tasks(jax.random.key(1), 1)[0]
+        traj = roll(params, task, jax.random.key(2))
+
+        plain = rl.vpg_a2c_loss(policy, params, traj, cfg, dice=False)
+        dice = rl.vpg_a2c_loss(policy, params, traj, cfg, dice=True)
+        assert np.isfinite(float(plain)) and np.isfinite(float(dice))
+
+        g_plain = jax.grad(lambda p: rl.vpg_a2c_loss(policy, p, traj, cfg))(params)
+        g_dice = jax.grad(lambda p: rl.vpg_a2c_loss(policy, p, traj, cfg,
+                                                    dice=True))(params)
+        total = sum(np.abs(np.asarray(l)).sum()
+                    for l in jax.tree_util.tree_leaves(g_dice))
+        assert np.isfinite(total) and total > 0
+        # gradients should differ (different estimator)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: np.abs(np.asarray(a - b)).max(), g_plain, g_dice)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 1e-8
