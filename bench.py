@@ -117,16 +117,19 @@ def measure_tpu() -> float:
     # warmup/compile (first call compiles; a few more settle the pipeline)
     for _ in range(5):
         key, params, opt_state, m = one_iteration(key, params, opt_state)
-    jax.block_until_ready(params)
+    float(m["loss"])
 
-    # best-of-3 windows to damp remote-tunnel latency noise
+    # GROUND-TRUTH timing: the axon remote runtime's block_until_ready
+    # does not actually synchronize, so each window must end with a host
+    # fetch of a scalar that transitively depends on every iteration
+    # (params chain through all steps). Best-of-3 to damp tunnel noise.
     best = 0.0
     for _ in range(3):
         iters = 50
         t0 = time.perf_counter()
         for _ in range(iters):
             key, params, opt_state, m = one_iteration(key, params, opt_state)
-        jax.block_until_ready(params)
+        float(m["loss"])  # forces the full dependency chain to finish
         dt = time.perf_counter() - t0
         best = max(best, META_BATCH * iters / dt)
     return best

@@ -4,6 +4,7 @@ from exploring_meta_tpu.adapt.maml import (
     inner_sgd,
     make_fast_adapt,
     make_meta_step,
+    make_train_scan,
     make_meta_eval,
     head_only_mask,
     tree_where,
@@ -12,6 +13,7 @@ from exploring_meta_tpu.adapt.maml import (
 from exploring_meta_tpu.adapt.vision import make_vision_fast_adapt
 
 __all__ = [
-    "inner_sgd", "make_fast_adapt", "make_meta_step", "make_meta_eval",
+    "inner_sgd", "make_fast_adapt", "make_meta_step", "make_train_scan",
+    "make_meta_eval",
     "head_only_mask", "tree_where", "TaskResult", "make_vision_fast_adapt",
 ]

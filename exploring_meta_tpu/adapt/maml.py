@@ -118,6 +118,50 @@ def make_meta_step(fast_adapt: Callable, optimizer: optax.GradientTransformation
     return meta_step
 
 
+def make_train_scan(fast_adapt: Callable,
+                    optimizer: optax.GradientTransformation,
+                    sample_fn: Callable, n_steps: int):
+    """Fuse ``n_steps`` whole meta-iterations into ONE XLA program.
+
+    The reference pays a full Python round-trip per task per iteration;
+    even the one-program-per-iteration ``make_meta_step`` is dominated by
+    host dispatch at CNN4 scale (device compute ~0.2 ms/iter). With the
+    episodic sampler already on device, a ``lax.scan`` over iterations
+    removes the host from the loop entirely: sample -> vmap'd inner loops
+    -> meta-grad -> optimizer, times ``n_steps``, one dispatch.
+
+    ``sample_fn(key, *data) -> task_batch`` — pass the dataset arrays
+    through ``*data`` rather than closing over them: closed-over arrays
+    are folded into the HLO as constants, which bloats compilation
+    (megabytes of dataset shipped to the compiler).
+
+    Returns ``train(params, opt_state, key, *data) -> (params, opt_state,
+    metrics)`` with metrics leaves stacked ``[n_steps]``.
+    """
+
+    def batch_loss(params, task_batch):
+        results = jax.vmap(lambda *t: fast_adapt(params, *t))(*task_batch)
+        return jnp.mean(results.loss), jnp.mean(results.metric)
+
+    @jax.jit
+    def train(params, opt_state, key, *data):
+        def one_step(carry, step_key):
+            params, opt_state = carry
+            task_batch = sample_fn(step_key, *data)
+            (loss, metric), grads = jax.value_and_grad(
+                batch_loss, has_aux=True)(params, task_batch)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), {"loss": loss, "metric": metric}
+
+        keys = jax.random.split(key, n_steps)
+        (params, opt_state), metrics = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, metrics
+
+    return train
+
+
 def make_meta_eval(fast_adapt: Callable):
     """Jitted meta-evaluation over a task batch (no outer update) —
     reference ``core_functions/vision.py:26-42``."""

@@ -21,14 +21,29 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _pallas_ok(use_pallas: bool | None) -> bool:
+    """Route to the fused Pallas kernels on TPU by default: XLA lowers
+    these reverse scans to a sequential loop that measures ~1000x slower
+    than the single-VMEM-pass kernel on this hardware (see
+    pallas/gae_pallas.py)."""
+    if use_pallas is not None:
+        return use_pallas
+    return jax.default_backend() == "tpu"
+
+
 def discount(gamma: float, rewards: jnp.ndarray, dones: jnp.ndarray,
-             bootstrap: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+             bootstrap: jnp.ndarray | float = 0.0,
+             use_pallas: bool | None = None) -> jnp.ndarray:
     """Discounted returns with reset at episode boundaries.
 
     ``R_t = r_t + gamma * (1 - done_t) * R_{t+1}``, scanned in reverse.
     Mirrors ``cherry.td.discount`` (used at reference
     ``core_functions/rl.py:96``).
     """
+    if (_pallas_ok(use_pallas) and isinstance(bootstrap, (int, float))
+            and bootstrap == 0.0):
+        from exploring_meta_tpu.pallas.gae_pallas import discount_pallas
+        return discount_pallas(float(gamma), rewards, dones)
     rewards = jnp.asarray(rewards)
     dones = jnp.asarray(dones, dtype=rewards.dtype)
     init = jnp.broadcast_to(jnp.asarray(bootstrap, dtype=rewards.dtype),
@@ -52,13 +67,18 @@ def temporal_difference(gamma: float, rewards: jnp.ndarray, dones: jnp.ndarray,
 
 def generalized_advantage(gamma: float, tau: float, rewards: jnp.ndarray,
                           dones: jnp.ndarray, values: jnp.ndarray,
-                          next_value: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+                          next_value: jnp.ndarray | float = 0.0,
+                          use_pallas: bool | None = None) -> jnp.ndarray:
     """GAE(gamma, tau) over a done-delimited trajectory.
 
     Matches ``cherry.pg.generalized_advantage``: ``next_values`` is
     ``values`` shifted one step with ``next_value`` appended, TD errors are
     then discounted by ``gamma * tau`` with reset at dones.
     """
+    if (_pallas_ok(use_pallas) and isinstance(next_value, (int, float))
+            and next_value == 0.0):
+        from exploring_meta_tpu.pallas.gae_pallas import gae_pallas
+        return gae_pallas(float(gamma), float(tau), rewards, dones, values)
     values = jnp.asarray(values)
     nv = jnp.broadcast_to(jnp.asarray(next_value, dtype=values.dtype),
                           values.shape[1:])

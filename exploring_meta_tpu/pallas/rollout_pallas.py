@@ -1,0 +1,235 @@
+"""Fused Particles2D rollout kernel: policy MLP + sampling + env in VMEM.
+
+Standalone ``lax.scan`` programs execute pathologically slowly on this
+TPU runtime (a jitted horizon-100 rollout costs ~55 ms; a standalone GAE
+scan ~3 ms/step), while the same scans INSIDE a larger jitted training
+program run at full speed. This kernel therefore wins for standalone /
+interactive rollouts (~100x: one kernel launch, everything in VMEM) and
+is an opt-in alternative inside training programs, where the measured
+difference vs. the scan rollout is neutral (133 vs 97 ms per 8-task
+collect — the in-kernel loop over per-task weights serializes what XLA
+parallelizes). It runs DiagNormalPolicy forward (2-layer MLP on the MXU),
+Gaussian action sampling via the on-core PRNG (Box-Muller), and
+Particles2D dynamics in one program.
+
+The kernel is natively TASK-BATCHED: weights arrive stacked ``[B, ...]``
+(each task may carry different adapted parameters — the MAML inner loop
+produces exactly that), episodes are ``B*E`` vector lanes, and a custom
+vmap rule maps ``vmap``-over-tasks onto the stacked form — so the whole
+meta-batch's rollouts, with per-task adapted policies, run as ONE kernel
+inside the jitted training step.
+
+Semantics match rl/rollout.py exactly (verified by replaying recorded
+actions through the pure-JAX env in tests): raw (unclipped) actions are
+recorded, the env clips to +-0.1, episodes freeze after done with zeroed
+reward/success, and the last valid step is horizon-done. The PRNG stream
+differs from jax.random (only the sampling distribution matters).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exploring_meta_tpu.models.policies import DiagNormalPolicy, MIN_LOG_SIGMA
+from exploring_meta_tpu.rl.rollout import Trajectory
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _std_normal(shape):
+    """Box-Muller from raw PRNG bits; uniforms strictly inside (0, 1).
+
+    uint32 -> f32 casts are unsupported in Mosaic: shift as uint32
+    (logical shift keeps the top 24 bits non-negative), bitcast to int32,
+    then cast.
+    """
+    bits1 = pltpu.bitcast(
+        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8,
+        jnp.int32)
+    bits2 = pltpu.bitcast(
+        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8,
+        jnp.int32)
+    u1 = bits1.astype(jnp.float32) * (1.0 / 16777216.0) + 1e-7
+    u2 = bits2.astype(jnp.float32) * (1.0 / 16777216.0)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _rollout_kernel(B, E, horizon, max_action, goal_threshold, activation,
+                    seed_ref, goal_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    w3_ref, b3_ref, sigma_ref,
+                    states_ref, actions_ref, rewards_ref, dones_ref,
+                    next_states_ref, success_ref, valid_ref,
+                    pos_ref, done_ref, loc_ref):
+    """Lanes are B tasks x E episodes, laid out task-major."""
+    pltpu.prng_seed(seed_ref[0])
+
+    pos_ref[:, :] = jnp.zeros_like(pos_ref)
+    done_ref[:, :] = jnp.zeros_like(done_ref)
+
+    act = jnp.tanh if activation == "tanh" else (lambda x: jnp.maximum(x, 0.0))
+    goals = goal_ref[:, :]  # [B*E, 2] per-lane goals
+
+    def step(t, _):
+        pos = pos_ref[:, :]
+        was_done = done_ref[:, :]          # [B*E, 1]
+        valid = 1.0 - was_done
+
+        # Per-task policy forward (each task has its own adapted weights).
+        def per_task(b, _):
+            rows = pl.ds(b * E, E)
+            x = pos_ref[rows, :]
+            h = act(jnp.dot(x, w1_ref[b],
+                            preferred_element_type=jnp.float32) + b1_ref[b])
+            h = act(jnp.dot(h, w2_ref[b],
+                            preferred_element_type=jnp.float32) + b2_ref[b])
+            loc_ref[rows, :] = (jnp.dot(h, w3_ref[b],
+                                        preferred_element_type=jnp.float32)
+                                + b3_ref[b])
+            return 0
+
+        jax.lax.fori_loop(0, B, per_task, 0)
+
+        scale = jnp.exp(jnp.clip(sigma_ref[:, 0, :], min=MIN_LOG_SIGMA))  # [B, A]
+        scale_lanes = pltpu.repeat(scale, E, axis=0)          # [B*E, A]
+        loc = loc_ref[:, :]
+        action = loc + scale_lanes * _std_normal(loc.shape)
+
+        # Particles2D dynamics (envs/particles2d.py parity).
+        clipped = jnp.clip(action, -max_action, max_action)
+        new_pos = jnp.where(was_done > 0.5, pos, pos + clipped)
+        diff = new_pos - goals
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1, keepdims=True))
+        done_now = (dist < goal_threshold).astype(jnp.float32)
+        new_done = jnp.maximum(was_done, done_now)
+        is_last = (t == horizon - 1).astype(jnp.float32)
+        done_rec = jnp.maximum(new_done, is_last * valid)
+
+        states_ref[t, :, :] = pos
+        actions_ref[t, :, :] = action
+        next_states_ref[t, :, :] = new_pos
+        rewards_ref[t, :] = (-dist * valid)[:, 0]
+        dones_ref[t, :] = done_rec[:, 0]
+        success_ref[t, :] = (done_now * valid)[:, 0]
+        valid_ref[t, :] = valid[:, 0]
+
+        pos_ref[:, :] = new_pos
+        done_ref[:, :] = new_done
+        return 0
+
+    jax.lax.fori_loop(0, horizon, step, 0)
+
+
+@lru_cache(maxsize=None)
+def _build_call(B: int, E: int, horizon: int, max_action: float,
+                goal_threshold: float, activation: str, interpret: bool):
+    T, L = horizon, B * E
+    kernel = partial(_rollout_kernel, B, E, T, max_action, goal_threshold,
+                     activation)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, L, 2), jnp.float32),   # states
+        jax.ShapeDtypeStruct((T, L, 2), jnp.float32),   # actions
+        jax.ShapeDtypeStruct((T, L), jnp.float32),      # rewards
+        jax.ShapeDtypeStruct((T, L), jnp.float32),      # dones
+        jax.ShapeDtypeStruct((T, L, 2), jnp.float32),   # next_states
+        jax.ShapeDtypeStruct((T, L), jnp.float32),      # success
+        jax.ShapeDtypeStruct((T, L), jnp.float32),      # valid
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM((L, 2), jnp.float32),   # pos
+            pltpu.VMEM((L, 1), jnp.float32),   # done
+            pltpu.VMEM((L, 2), jnp.float32),   # loc
+        ],
+        interpret=interpret,
+    )
+
+
+def make_fused_particles2d_rollout(policy: DiagNormalPolicy, episodes: int,
+                                   horizon: int, max_action: float = 0.1,
+                                   goal_threshold: float = 0.01):
+    """-> ``roll(params, task, key) -> Trajectory`` — drop-in for
+    ``rl.make_rollout(Particles2D(), policy.sample, ...)`` with the whole
+    rollout fused into one kernel. Requires the standard DiagNormalPolicy
+    MLP (2 hidden layers). Under ``vmap`` over tasks, per-task (adapted)
+    params and goals fold into one stacked-kernel launch."""
+    assert len(policy.hiddens) == 2, "fused rollout supports 2-layer MLPs"
+    T, E = horizon, episodes
+
+    def run(B, seed, goals, stacked):
+        (w1, b1, w2, b2, w3, b3, sigma) = stacked
+        call = _build_call(B, E, T, max_action, goal_threshold,
+                           policy.activation,
+                           jax.default_backend() == "cpu")
+        return call(seed, goals, w1, b1, w2, b2, w3, b3, sigma)
+
+    def flat_params(params):
+        m = params["mean"]
+        return (m[0]["w"], m[0]["b"][None, :], m[1]["w"], m[1]["b"][None, :],
+                m[2]["w"], m[2]["b"][None, :],
+                params["sigma"].astype(jnp.float32)[None, :])
+
+    @jax.custom_batching.custom_vmap
+    def core(stacked, goals, seed):
+        # unbatched: B=1. stacked leaves [2,H]/[1,H]/..., goals [E,2].
+        stacked1 = tuple(x[None] if x.ndim == 2 else x for x in stacked)
+        # biases arrive [1,H]: add task axis -> [1,1,H]
+        stacked1 = tuple(x if x.ndim == 3 else x[None] for x in stacked1)
+        outs = run(1, seed, goals, stacked1)
+        return outs
+
+    @core.def_vmap
+    def _core_vmap(axis_size, in_batched, stacked, goals, seed):
+        s_batched, g_b, seed_b = in_batched
+        B = axis_size
+
+        def prep_w(x, b):
+            # batched weight [B, d0, d1] stays; unbatched broadcasts.
+            if b:
+                return x
+            return jnp.broadcast_to(x[None], (B,) + x.shape)
+
+        stackedB = tuple(prep_w(x, b) for x, b in zip(stacked, s_batched))
+        if g_b:
+            flat_goals = goals.reshape(B * goals.shape[1], 2)
+        else:
+            flat_goals = jnp.broadcast_to(goals[None],
+                                          (B,) + goals.shape).reshape(-1, 2)
+        seed0 = seed[0] if seed_b else seed
+        outs = run(B, seed0, flat_goals, stackedB)
+
+        def split(x):
+            y = x.reshape((T, B, E) + x.shape[2:])
+            return jnp.moveaxis(y, 1, 0)
+
+        return tuple(split(o) for o in outs), tuple(True for _ in outs)
+
+    @jax.jit
+    def roll(params, task, key) -> Trajectory:
+        # Rollouts are data: cut the tangent path BEFORE the kernel (it has
+        # no JVP rule), mirroring the stop-gradient sampling in rollout.py.
+        params = jax.lax.stop_gradient(params)
+        task = jax.lax.stop_gradient(task)
+        seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+        goals = jnp.broadcast_to(jnp.asarray(task, jnp.float32)[None, :],
+                                 (E, 2))
+        outs = core(flat_params(params), goals, seed)
+        states, actions, rewards, dones, next_states, success, valid = outs
+        timestep = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                                    rewards.shape)
+        return Trajectory(state=states, action=actions, reward=rewards,
+                          done=dones, next_state=next_states,
+                          success=success, valid=valid, timestep=timestep)
+
+    return roll

@@ -35,13 +35,20 @@ def _choice_no_replace(key, n: int, k: int) -> jnp.ndarray:
 
 
 def _rot90_times(k: jnp.ndarray, imgs: jnp.ndarray) -> jnp.ndarray:
-    """Rotate a stack [S, H, W, C] by k*90 degrees (square images)."""
-    return jax.lax.switch(k, [
-        lambda x: x,
-        lambda x: jnp.rot90(x, 1, axes=(1, 2)),
-        lambda x: jnp.rot90(x, 2, axes=(1, 2)),
-        lambda x: jnp.rot90(x, 3, axes=(1, 2)),
-    ], imgs)
+    """Rotate a stack [S, H, W, C] by k*90 degrees (square images).
+
+    Computes all four rotations (cheap layout ops) and selects by ``k``
+    instead of ``lax.switch`` — branchless, so it vectorizes cleanly under
+    the double vmap (tasks x classes); switch lowered to a dramatically
+    slower form on TPU here.
+    """
+    variants = jnp.stack([
+        imgs,
+        jnp.rot90(imgs, 1, axes=(1, 2)),
+        jnp.rot90(imgs, 2, axes=(1, 2)),
+        jnp.rot90(imgs, 3, axes=(1, 2)),
+    ])  # [4, S, H, W, C]
+    return jnp.take(variants, k, axis=0)
 
 
 def sample_task(key, images: jnp.ndarray, ways: int, shots: int,

@@ -15,11 +15,14 @@ import os
 import jax
 import pytest
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("EMT_TEST_TPU") != "1":
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
+# EMT_TEST_TPU=1 runs the suite on the real TPU backend instead (used for
+# the TPU-only Pallas kernel tests; run those alone — the tunnel is slow).
 
 
 @pytest.fixture(scope="session")

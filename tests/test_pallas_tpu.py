@@ -1,0 +1,60 @@
+"""TPU-only Pallas tests (the rollout kernel's PRNG has no interpreter
+support; these run when pytest executes on a real TPU backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+if jax.default_backend() == "cpu":
+    pytest.skip("fused rollout kernel needs a TPU backend",
+                allow_module_level=True)
+
+from exploring_meta_tpu.envs import Particles2D
+from exploring_meta_tpu.models import DiagNormalPolicy
+from exploring_meta_tpu.pallas import make_fused_particles2d_rollout
+
+
+def test_fused_rollout_replay_parity():
+    """Replaying recorded actions through the pure-JAX env must reproduce
+    rewards/states/dones exactly."""
+    policy = DiagNormalPolicy(input_size=2, output_size=2)
+    params = policy.init(jax.random.key(0))
+    env = Particles2D()
+    task = env.sample_tasks(jax.random.key(1), 1)[0]
+    roll = make_fused_particles2d_rollout(policy, episodes=8, horizon=30)
+    tr = roll(params, task, jax.random.key(2))
+
+    state, _ = jax.vmap(lambda k: env.reset(k, task))(
+        jax.random.split(jax.random.key(9), 8))
+    for t in range(30):
+        state, obs2, rew, done, suc = jax.vmap(
+            lambda st, aa: env.step(st, aa, task))(state, tr.action[t])
+        np.testing.assert_allclose(
+            np.asarray(rew) * np.asarray(tr.valid[t]),
+            np.asarray(tr.reward[t]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(obs2),
+                                   np.asarray(tr.next_state[t]), atol=2e-5)
+
+
+def test_fused_rollout_vmap_with_per_task_params():
+    from exploring_meta_tpu import rl
+    policy = DiagNormalPolicy(input_size=2, output_size=2)
+    params = policy.init(jax.random.key(0))
+    env = Particles2D()
+    cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=8,
+                      max_path_length=20)
+    roll = make_fused_particles2d_rollout(policy, episodes=8, horizon=20)
+    tasks_b = env.sample_tasks(jax.random.key(3), 4)
+
+    @jax.jit
+    def collect(p, tb, keys):
+        def per_task(t, k):
+            _, loss, _, m = rl.fast_adapt_trpo(policy, p, roll, t, k, cfg)
+            return loss, m["reward"]
+        return jax.vmap(per_task)(tb, keys)
+
+    loss, rew = collect(params, tasks_b,
+                        jax.random.split(jax.random.key(4), 4))
+    assert np.isfinite(np.asarray(loss)).all()
+    assert loss.shape == (4,)
