@@ -33,37 +33,52 @@ def save_acc_matrix(path: str, acc_matrix, name: str = "acc_matrix") -> None:
 
 def run_cl_exp(path, apply_fn: Callable, params, dataset, ways: int,
                shots: int, key, cl_params: dict | None = None,
-               setting: int = 1) -> tuple:
+               setting: int = 1, features_fn: Callable | None = None,
+               head_apply: Callable | None = None) -> tuple:
     """Vision CL experiment -> (acc_matrix, metrics dict).
 
-    ``apply_fn(params, x) -> logits`` (close over the model spec; for
-    ANIL pass a head-only apply plus pre-encoded features upstream).
+    ``apply_fn(params, x) -> logits``. For ANIL runs pass ``features_fn``
+    (body encoder, applied once per task) and ``head_apply``: adaptation
+    then moves only the head on frozen features — the reference's ANIL CL
+    behavior (eval_vision.py:117-182 adapts the MAML-wrapped head).
     """
     cl_params = dict(cl_params or {"adapt_steps": 1, "inner_lr": 0.1,
                                    "n_tasks": 10})
     cl_path = os.path.join(path, "cl_exp")
     os.makedirs(cl_path, exist_ok=True)
 
-    # Build the task pool.
+    anil = features_fn is not None
+
+    # Build the task pool (features pre-encoded once for ANIL, mirroring
+    # prepare_batch(features=...)).
     pool = []
     for _ in range(cl_params["n_tasks"]):
         key, k = jax.random.split(key)
         data, labels = sample_task(k, dataset.images, ways, shots,
                                    dataset.invert, dataset.rotations)
+        if anil:
+            data = features_fn(params, data)
         support, query = split_support_query(data, labels, shots, ways)
         pool.append({"adapt": support,
                      "eval": support if setting == 1 else query})
 
+    if anil:
+        adapt_params = params["head"]
+        fwd = lambda head, x: head_apply({"head": head}, x)
+    else:
+        adapt_params = params
+        fwd = apply_fn
+
     def loss_fn(p, batch):
         x, y = batch
-        return cross_entropy(apply_fn(p, x), y)
+        return cross_entropy(fwd(p, x), y)
 
     @jax.jit
-    def adapt_and_eval(params, adapt_batch, eval_batches):
-        adapted = inner_sgd(loss_fn, params, adapt_batch,
+    def adapt_and_eval(adapt_params, adapt_batch, eval_batches):
+        adapted = inner_sgd(loss_fn, adapt_params, adapt_batch,
                             cl_params["inner_lr"], cl_params["adapt_steps"])
         return jax.vmap(
-            lambda b: accuracy(apply_fn(adapted, b[0]), b[1]))(eval_batches)
+            lambda b: accuracy(fwd(adapted, b[0]), b[1]))(eval_batches)
 
     eval_stack = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[t["eval"] for t in pool])
@@ -72,7 +87,7 @@ def run_cl_exp(path, apply_fn: Callable, params, dataset, ways: int,
     acc_matrix = np.zeros((n, n))
     for i, task_i in enumerate(pool):
         acc_matrix[i] = np.asarray(
-            adapt_and_eval(params, task_i["adapt"], eval_stack))
+            adapt_and_eval(adapt_params, task_i["adapt"], eval_stack))
 
     cl_res = calc_cl_metrics(acc_matrix)
     save_acc_matrix(cl_path, acc_matrix)

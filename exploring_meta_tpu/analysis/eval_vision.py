@@ -89,9 +89,14 @@ def run(base_path: str, n_eval_batches: int = 20, run_cl: bool = True,
     apply_fn = lambda p, x: models.cnn4_apply(p, spec, x)
     if run_cl:
         key, k = jax.random.split(key)
+        anil_kwargs = {}
+        if anil:  # head-only adaptation on frozen features
+            anil_kwargs = dict(
+                features_fn=lambda p, x: models.cnn4_features(p, spec, x),
+                head_apply=models.cnn4_head_apply)
         _, cl_res = run_cl_exp(base_path, apply_fn, params, test_ds,
                                config["ways"], config["shots"], k,
-                               cl_params=cl_params)
+                               cl_params=cl_params, **anil_kwargs)
         out["cl_res"] = cl_res
     if run_rc:
         key, k = jax.random.split(key)

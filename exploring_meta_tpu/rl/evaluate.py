@@ -28,17 +28,55 @@ ML10_EVAL_TASK_NAMES = {
 }
 
 
+def sample_3_from_each_task(env, key, pool: int = 200, per_task: int = 3):
+    """Sample a large pool and keep ``per_task`` trials per distinct task id
+    (reference ``sample_3_from_each_task``, rl.py:113-125). Host envs whose
+    tasks are dicts with a ``task`` id (Meta-World adapter)."""
+    task_list = env.sample_tasks(key, pool)
+    buckets: dict = {}
+    for t in task_list:
+        buckets.setdefault(t["task"], []).append(t)
+    out = []
+    for tid in sorted(buckets):
+        out.extend(buckets[tid][:per_task])
+    return out
+
+
+def sample_explicit_task(env, key, task_name: str, pool: int = 100):
+    """Find one sampled task matching a named ML10 task (reference
+    ``sample_explicit_task``, rl.py:128-139)."""
+    names = {**ML10_EVAL_TASK_NAMES, **ML10_TRAIN_TASK_NAMES}
+    index = {v: k for k, v in names.items()}[task_name]
+    for t in env.sample_tasks(key, pool):
+        if t["task"] == index:
+            return t
+    return None
+
+
 def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
-             cfg: RLConfig, n_tasks: int, key,
-             device_env: bool = True) -> dict:
-    """Adapt + evaluate on ``n_tasks`` fresh tasks; -> metrics dict with
-    per-task rewards, mean reward, mean success rate.
+             cfg: RLConfig, n_tasks: int | str, key,
+             device_env: bool = True, each3: bool = False) -> dict:
+    """Adapt + evaluate on fresh tasks; -> metrics dict with per-task
+    rewards, mean reward, mean success rate.
+
+    Task selection (reference rl.py:155-161): ``n_tasks`` int samples that
+    many tasks; ``each3=True`` takes 3 trials of every distinct task id;
+    a string ``n_tasks`` selects one explicitly named ML10 task.
 
     ``device_env=True`` vmaps all task adaptations into one XLA program;
     ``False`` loops eagerly (host-physics envs, whose tasks may be
     arbitrary Python objects)."""
     key, tk = jax.random.split(key)
-    tasks = env.sample_tasks(tk, n_tasks)
+    if each3:
+        tasks = sample_3_from_each_task(env, tk)
+        n_tasks = len(tasks)
+    elif isinstance(n_tasks, str):
+        task = sample_explicit_task(env, tk, n_tasks)
+        if task is None:
+            raise ValueError(f"task {n_tasks!r} not found")
+        tasks, n_tasks = [task], 1
+    else:
+        tasks = env.sample_tasks(tk, n_tasks)
 
     def eval_one(task, k):
         if algo == "vpg":

@@ -56,6 +56,17 @@ class VisionTrainer(Experiment):
         opt = optax.adam(cfg.outer_lr)
         opt_state = opt.init(params)
 
+        start_iteration = 0
+        if cfg.resume:  # true mid-training resume (the reference cannot)
+            from exploring_meta_tpu.utils.experiment import load_checkpoint
+            params, opt_state_r, rng_key, start_iteration = load_checkpoint(
+                cfg.resume, params, opt_state)
+            if opt_state_r is not None:
+                opt_state = opt_state_r
+            if rng_key is not None:
+                key = rng_key
+            print(f"Resumed from {cfg.resume} at iteration {start_iteration}")
+
         if cfg.mesh > 1:
             mesh = parallel.make_task_mesh(cfg.mesh)
             meta_step = parallel.make_sharded_meta_step(fast_adapt, opt, mesh)
@@ -65,8 +76,9 @@ class VisionTrainer(Experiment):
             place = lambda batch: batch
         meta_eval = adapt.make_meta_eval(fast_adapt)
 
-        t = trange(cfg.num_iterations)
-        iteration = 0
+        t = trange(start_iteration, cfg.num_iterations,
+                   initial=start_iteration, total=cfg.num_iterations)
+        iteration = start_iteration
         try:
             for iteration in t:
                 key, k_tr, k_va = jax.random.split(key, 3)

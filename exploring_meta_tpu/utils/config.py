@@ -30,6 +30,7 @@ class VisionConfig:
     synthetic: bool = False      # force synthetic data (hermetic envs)
     mesh: int = 1                # devices for task-DP sharding
     use_wandb: bool = False
+    resume: str = ""             # checkpoint .npz to resume from (new capability)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -64,6 +65,8 @@ def vision_argparser(defaults: VisionConfig,
                    help="Devices for task-DP sharding")
     p.add_argument("--wandb", dest="use_wandb", action="store_true",
                    default=defaults.use_wandb)
+    p.add_argument("--resume", type=str, default=defaults.resume,
+                   help="checkpoint .npz to resume training from")
     return p
 
 

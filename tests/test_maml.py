@@ -256,3 +256,71 @@ class TestEndToEnd:
         evaluate = adapt.make_meta_eval(fa)
         data, labels = tasks.sample_task_batch(jax.random.key(9), test, 5, 1, 16)
         assert float(evaluate(params, data, labels)["metric"]) > 0.5
+
+
+class TestTrainScan:
+    def test_scan_matches_sequential_steps(self):
+        """K fused meta-iterations must equal K sequential meta_step calls
+        given the same per-step task batches."""
+        import optax
+        from exploring_meta_tpu.tasks.sampler import sample_task
+
+        train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                          synthetic_classes=20)
+        spec = models.omniglot_spec(ways=5, hidden=8, layers=2)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        fa = adapt.make_vision_fast_adapt(spec, 0.4, 1, 1, 5)
+        opt = optax.sgd(0.1)
+
+        MB, K = 4, 3
+
+        def sample_fn(key, images):
+            keys = jax.random.split(key, MB)
+            return jax.vmap(lambda k: sample_task(
+                k, images, 5, 1, train.invert, train.rotations))(keys)
+
+        trainer = adapt.make_train_scan(fa, opt, sample_fn, K)
+        p_scan, _, m = trainer(params, opt.init(params), jax.random.key(7),
+                               train.images)
+
+        # sequential reference with identical batches
+        step = adapt.make_meta_step(fa, opt)
+        p_seq, s_seq = params, opt.init(params)
+        keys = jax.random.split(jax.random.key(7), K)
+        for k in keys:
+            d, l = sample_fn(k, train.images)
+            p_seq, s_seq, _ = step(p_seq, s_seq, d, l)
+
+        for a, b in zip(jax.tree_util.tree_leaves(p_scan),
+                        jax.tree_util.tree_leaves(p_seq)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        assert m["loss"].shape == (K,)
+
+
+class TestResume:
+    def test_trainer_resume_continues_iteration_count(self, tmp_path,
+                                                      monkeypatch):
+        import glob
+        monkeypatch.chdir(tmp_path)
+        from exploring_meta_tpu.trainers import VisionTrainer
+        from exploring_meta_tpu.utils.config import VisionConfig
+
+        cfg = VisionConfig(dataset="omni", num_iterations=3,
+                           meta_batch_size=2, save_every=2, synthetic=True)
+        t1 = VisionTrainer(cfg, anil=False)
+        t1.run()
+        ckpt = sorted(glob.glob(os.path.join(
+            t1.model_path, "model_checkpoints", "*.npz")))[-1]
+
+        cfg2 = VisionConfig(dataset="omni", num_iterations=5,
+                            meta_batch_size=2, save_every=10,
+                            synthetic=True, resume=ckpt)
+        t2 = VisionTrainer(cfg2, anil=False)
+        acc = t2.run()
+        # resumed run trained iterations [2..5): 3 metric entries
+        assert len(t2.metrics["train_loss"]) == 3
+        assert 0.0 <= acc <= 1.0
+
+
+import os  # noqa: E402
