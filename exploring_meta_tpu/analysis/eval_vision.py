@@ -106,6 +106,24 @@ def run(base_path: str, n_eval_batches: int = 20, run_cl: bool = True,
                                      config["shots"], k,
                                      rep_params=rep_params)
 
+        # Representation drift across training checkpoints (reference
+        # rc_rl.py:295-353 measure_change_through_time).
+        ckpt_paths = sorted(
+            glob.glob(os.path.join(base_path, "model_checkpoints",
+                                   "model_*.npz")),
+            key=lambda p: int(re.search(r"model_(\d+)\.npz$", p).group(1)))
+        if len(ckpt_paths) >= 2:
+            from exploring_meta_tpu.analysis.rc import (
+                measure_change_through_time)
+            key, k = jax.random.split(key)
+            probe, _ = tasks.sample_task_batch(k, test_ds, config["ways"],
+                                               config["shots"], 1)
+            probe = probe[0]
+            ckpt_params = [load_params(p, template) for p in ckpt_paths]
+            out["cca_through_time"] = measure_change_through_time(
+                base_path, ckpt_params,
+                lambda p, x: models.cnn4_features(p, spec, x), probe)
+
     with open(os.path.join(base_path, "eval_results.json"), "w") as f:
         json.dump(out, f, sort_keys=True, indent=4, default=str)
     return out

@@ -141,7 +141,9 @@ def measure_change_through_time(path, checkpoint_params: list,
     for prev, cur in zip(checkpoint_params[:-1], checkpoint_params[1:]):
         a = np.asarray(rep_fn(prev, inputs)).reshape(len(inputs), -1)
         b = np.asarray(rep_fn(cur, inputs)).reshape(len(inputs), -1)
-        sims.append(get_cca_similarity(a.T, b.T, epsilon=1e-10)[1])
+        # smaller axis first (see _similarities orientation note)
+        ca, cb = (a, b) if a.shape[0] < a.shape[1] else (a.T, b.T)
+        sims.append(get_cca_similarity(ca, cb, epsilon=1e-10)[1])
     with open(os.path.join(path, "cca_through_time.json"), "w") as f:
         json.dump(sims, f, indent=4)
     return sims

@@ -66,9 +66,17 @@ def main():
 
     if args.out and frames:
         os.makedirs(args.out, exist_ok=True)
-        for i, fr in enumerate(frames):
-            np.save(os.path.join(args.out, f"frame_{i:05d}.npy"), fr)
-        print(f"dumped {len(frames)} frames to {args.out}")
+        try:  # animated GIF like the reference's renders/ artifacts
+            from PIL import Image
+            pil = [Image.fromarray(np.asarray(f, np.uint8)) for f in frames]
+            gif = os.path.join(args.out, "rollout.gif")
+            pil[0].save(gif, save_all=True, append_images=pil[1:],
+                        duration=40, loop=0)
+            print(f"wrote {gif} ({len(frames)} frames)")
+        except Exception as e:
+            for i, fr in enumerate(frames):
+                np.save(os.path.join(args.out, f"frame_{i:05d}.npy"), fr)
+            print(f"GIF encode failed ({e}); dumped {len(frames)} npy frames")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,152 @@
+"""Host-env pipeline tests with a hermetic fake physics env (no MuJoCo):
+HostVecEnv collection semantics + replay-based meta-gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from exploring_meta_tpu import rl
+from exploring_meta_tpu.envs.host import HostVecEnv, make_host_rollout
+from exploring_meta_tpu.models import DiagNormalPolicy, DiagNormalPolicyANIL
+
+
+class FakeHostEnv:
+    """Deterministic little host env: 1D point chasing a goal, terminates
+    when close; mimics the gymnasium-style step contract of envs/host.py."""
+
+    obs_size = 2
+    action_size = 1
+
+    def __init__(self, seed=0):
+        self._rng = np.random.default_rng(seed)
+        self._task = np.array([0.5])
+        self._x = 0.0
+        self._t = 0
+
+    def sample_tasks(self, key, n):
+        return self._rng.uniform(-1, 1, size=(n, 1))
+
+    def set_task(self, task):
+        self._task = np.asarray(task).reshape(1)
+
+    def reset(self, seed=None):
+        self._x, self._t = 0.0, 0
+        return np.array([self._x, self._task[0]], np.float32)
+
+    def step(self, action):
+        self._x += float(np.clip(action[0], -0.2, 0.2))
+        self._t += 1
+        dist = abs(self._x - self._task[0])
+        done = dist < 0.05
+        return (np.array([self._x, self._task[0]], np.float32),
+                -dist, done, False, 1.0 if done else 0.0)
+
+
+@pytest.fixture(scope="module")
+def host_setup():
+    vec = HostVecEnv(lambda: FakeHostEnv(), n_envs=3)
+    policy = DiagNormalPolicy(input_size=2, output_size=1, hiddens=(16, 16))
+    params = policy.init(jax.random.key(0))
+    roll = make_host_rollout(vec, policy, horizon=12)
+    return vec, policy, params, roll
+
+
+class TestHostVecEnv:
+    def test_trajectory_contract(self, host_setup):
+        vec, policy, params, roll = host_setup
+        task = vec.sample_tasks(None, 1)[0]
+        traj = roll(params, task, jax.random.key(1))
+        assert traj.state.shape == (12, 3, 2)
+        assert traj.action.shape == (12, 3, 1)
+        # horizon-done: last valid step terminal
+        last_valid = np.asarray(traj.valid[-1]) > 0
+        assert np.all(np.asarray(traj.done[-1])[last_valid] == 1.0)
+        # post-done filler: zero rewards where invalid
+        invalid = np.asarray(traj.valid) == 0
+        np.testing.assert_allclose(np.asarray(traj.reward)[invalid], 0.0)
+
+    def test_within_episode_timesteps(self, host_setup):
+        vec, policy, params, roll = host_setup
+        task = vec.sample_tasks(None, 1)[0]
+        traj = roll(params, task, jax.random.key(2))
+        ts = np.asarray(traj.timestep)
+        valid = np.asarray(traj.valid) > 0
+        # while valid, timestep == row index (no mid-rollout resets)
+        rows = np.arange(12)[:, None] * np.ones((1, 3), int)
+        np.testing.assert_array_equal(ts[valid], rows[valid])
+
+    def test_fast_adapt_on_host_env(self, host_setup):
+        vec, policy, params, roll = host_setup
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=3,
+                          max_path_length=12)
+        task = vec.sample_tasks(None, 1)[0]
+        adapted, loss, replay, m = rl.fast_adapt_trpo(
+            policy, params, roll, task, jax.random.key(3), cfg)
+        assert np.isfinite(float(loss))
+        assert len(replay) == 2
+
+
+class TestReplayMeta:
+    def test_replay_rederive_matches_collection(self, host_setup):
+        """Feeding recorded trajectories back through fast_adapt must
+        reproduce the collection-time adapted params exactly."""
+        vec, policy, params, roll = host_setup
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=2, adapt_batch_size=3,
+                          max_path_length=12, ppo_epochs=2)
+        task = vec.sample_tasks(None, 1)[0]
+
+        store = []
+        rec = rl.recording_rollout(roll, store)
+        adapted_collect, loss_collect, _ = rl.fast_adapt_ppo(
+            policy, params, rec, task, jax.random.key(4), cfg)
+
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *store)
+        feeder = rl.replay_feeder(stacked)
+        adapted_replay, loss_replay, _ = rl.fast_adapt_ppo(
+            policy, params, feeder, None, jax.random.key(99), cfg)
+
+        np.testing.assert_allclose(float(loss_collect), float(loss_replay),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(adapted_collect),
+                        jax.tree_util.tree_leaves(adapted_replay)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_replay_meta_gradient_finite_nonzero(self, host_setup):
+        vec, policy, params, roll = host_setup
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=3,
+                          max_path_length=12, ppo_epochs=1)
+        replays = []
+        key = jax.random.key(5)
+        for i in range(2):
+            key, k = jax.random.split(key)
+            task = vec.sample_tasks(None, 1)[0]
+            stacked, m = rl.collect_replays("ppo", policy, params, roll,
+                                            task, k, cfg)
+            replays.append(stacked)
+        batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *replays)
+        meta_loss = rl.make_replay_meta_loss("ppo", policy, cfg)
+        g = jax.grad(meta_loss)(params, batched)
+        total = sum(np.abs(np.asarray(l)).sum()
+                    for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+
+    def test_anil_policy_on_host_env(self):
+        vec = HostVecEnv(lambda: FakeHostEnv(), n_envs=2)
+        policy = DiagNormalPolicyANIL(input_size=2, output_size=1,
+                                      fc_neurons=100)
+        params = policy.init(jax.random.key(0))
+        roll = make_host_rollout(vec, policy, horizon=8)
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=2,
+                          max_path_length=8, ppo_epochs=1, anil=True)
+        task = vec.sample_tasks(None, 1)[0]
+        stacked, m = rl.collect_replays("ppo", policy, params, roll, task,
+                                        jax.random.key(1), cfg)
+        meta_loss = rl.make_replay_meta_loss("ppo", policy, cfg)
+        g = jax.grad(meta_loss)(params, jax.tree_util.tree_map(
+            lambda x: x[None], stacked))
+        # outer grads reach the body through the query pass
+        body_norm = sum(np.abs(np.asarray(l)).sum()
+                        for l in jax.tree_util.tree_leaves(g["body"]))
+        assert np.isfinite(body_norm) and body_norm > 0
