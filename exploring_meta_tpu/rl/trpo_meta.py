@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-from exploring_meta_tpu.models.policies import DiagNormalPolicyANIL
 from exploring_meta_tpu.models.distributions import normal_kl
 from exploring_meta_tpu.ops.cg import conjugate_gradient
 from exploring_meta_tpu.rl.adapt_rl import (
@@ -55,12 +54,6 @@ def stack_replays(per_task_replays):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_task)
 
 
-def _density(policy, params, states):
-    if isinstance(policy, DiagNormalPolicyANIL):
-        return policy.density(params, states)
-    return policy.density(params, states)
-
-
 def meta_surrogate_loss(policy, params, old_params_stack, replays,
                         cfg: RLConfig, adapt_steps: int):
     """-> (mean surrogate loss, mean KL) over tasks (reference
@@ -85,8 +78,8 @@ def meta_surrogate_loss(policy, params, old_params_stack, replays,
         actions = query.flat(query.action)
         valid = query.flat(query.valid)[:, None]
 
-        old_loc, old_scale = _density(policy, old_params, states)
-        new_loc, new_scale = _density(policy, new_params, states)
+        old_loc, old_scale = policy.density(old_params, states)
+        new_loc, new_scale = policy.density(new_params, states)
 
         kl = masked_mean(
             normal_kl(new_loc, new_scale, old_loc, old_scale),

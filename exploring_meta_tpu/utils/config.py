@@ -10,7 +10,7 @@ does, plus TPU-specific extras like ``--synthetic`` and ``--mesh``).
 from __future__ import annotations
 
 import argparse
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 
 @dataclass
