@@ -3,7 +3,9 @@
 from exploring_meta_tpu.parallel.mesh import (
     make_task_mesh,
     make_sharded_meta_step,
+    make_sharded_trpo_meta_step,
     shard_task_batch,
 )
 
-__all__ = ["make_task_mesh", "make_sharded_meta_step", "shard_task_batch"]
+__all__ = ["make_task_mesh", "make_sharded_meta_step",
+           "make_sharded_trpo_meta_step", "shard_task_batch"]

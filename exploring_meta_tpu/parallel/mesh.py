@@ -81,3 +81,80 @@ def shard_task_batch(mesh: Mesh, task_batch, axis: str = "tasks"):
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), task_batch)
+
+
+def make_sharded_trpo_meta_step(policy, cfg, trpo_cfg, adapt_steps: int,
+                                mesh: Mesh, axis: str = "tasks"):
+    """Task-DP TRPO meta-optimization over the mesh.
+
+    Each device re-derives the second-order surrogate for its shard of the
+    replay buffer; surrogate/KL means are ``pmean``-reduced over ICI (their
+    gradients get the matching ``psum`` automatically under AD), so the
+    conjugate-gradient solve and backtracking line search run replicated on
+    every chip with bitwise-identical global values — the distributed form
+    of reference ``meta_optimize_trpo`` (rl.py:409-438).
+
+    ``(params, old_params_stack, replays) -> (params, info)`` with the
+    task-stacked inputs sharded on their leading axis, params replicated.
+    """
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+    from exploring_meta_tpu.ops.cg import conjugate_gradient
+    from exploring_meta_tpu.rl.trpo_meta import meta_surrogate_loss
+
+    def local_step(params, old_params_stack, replays):
+        flat0, unravel = ravel_pytree(params)
+
+        # Local shard losses; every cross-device quantity is an explicit
+        # pmean (differentiating *through* pmean under shard_map does not
+        # produce the cross-device gradient reduction).
+        def local_loss_kl(flat):
+            return meta_surrogate_loss(policy, unravel(flat),
+                                       old_params_stack, replays, cfg,
+                                       adapt_steps)
+
+        def loss_kl(flat):
+            loss, kl = local_loss_kl(flat)
+            return jax.lax.pmean(loss, axis), jax.lax.pmean(kl, axis)
+
+        old_loss_l, grad_l = jax.value_and_grad(
+            lambda f: local_loss_kl(f)[0])(flat0)
+        old_loss = jax.lax.pmean(old_loss_l, axis)
+        grad_flat = jax.lax.pmean(grad_l, axis)
+
+        grad_kl_local = jax.grad(lambda f: local_loss_kl(f)[1])
+
+        def Fvp(v):
+            _, hv = jax.jvp(grad_kl_local, (flat0,), (v,))
+            return jax.lax.pmean(hv, axis) + trpo_cfg.damping * v
+
+        step = conjugate_gradient(Fvp, grad_flat,
+                                  num_iterations=trpo_cfg.cg_iterations)
+        shs = 0.5 * jnp.dot(step, Fvp(step))
+        step = step / jnp.sqrt(shs / trpo_cfg.max_kl)
+
+        def cond(state):
+            i, accepted, _ = state
+            return jnp.logical_and(i < trpo_cfg.ls_max_steps,
+                                   jnp.logical_not(accepted))
+
+        def body(state):
+            i, _, cur = state
+            size = (trpo_cfg.backtrack_factor ** i) * trpo_cfg.outer_lr
+            cand = flat0 - size * step
+            new_loss, kl = loss_kl(cand)
+            ok = jnp.logical_and(new_loss < old_loss, kl < trpo_cfg.max_kl)
+            return i + 1, ok, jnp.where(ok, cand, cur)
+
+        _, accepted, final = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                         flat0))
+        return unravel(final), {"old_loss": old_loss, "accepted": accepted}
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -96,6 +96,7 @@ class RLScriptConfig:
     # extras
     n_eval_tasks: int = 10
     use_wandb: bool = False
+    mesh: int = 1                # devices for task-DP sharding (TRPO outer step)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -123,6 +124,8 @@ def rl_argparser(defaults: RLScriptConfig,
     p.add_argument("--gamma", type=float, default=defaults.gamma)
     p.add_argument("--tau", type=float, default=defaults.tau)
     p.add_argument("--n_eval_tasks", type=int, default=defaults.n_eval_tasks)
+    p.add_argument("--mesh", type=int, default=defaults.mesh,
+                   help="Devices for task-DP sharding of the outer step")
     p.add_argument("--wandb", dest="use_wandb", action="store_true",
                    default=defaults.use_wandb)
     return p
