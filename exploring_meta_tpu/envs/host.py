@@ -168,7 +168,9 @@ def make_host_rollout(vec_env: HostVecEnv, policy, horizon: int):
         return policy.sample(params, key, obs)
 
     def roll(params, task, key):
-        vec_env.set_task(np.asarray(task))
+        # Meta-World-style tasks are dicts — pass through untouched; array
+        # tasks (goal vectors) are coerced off-device.
+        vec_env.set_task(task if isinstance(task, dict) else np.asarray(task))
         return vec_env.collect(
             lambda k, o: action_fn(params, k, o), key, horizon)
 

@@ -150,3 +150,48 @@ class TestReplayMeta:
         body_norm = sum(np.abs(np.asarray(l)).sum()
                         for l in jax.tree_util.tree_leaves(g["body"]))
         assert np.isfinite(body_norm) and body_norm > 0
+
+
+class DictTaskEnv(FakeHostEnv):
+    """Meta-World-shaped tasks: dicts with a 'task' id (for the each3 /
+    explicit-task selection modes)."""
+
+    def sample_tasks(self, key, n):
+        ids = self._rng.integers(0, 5, size=n)
+        return [{"task": int(i), "goal": float(self._rng.uniform(-1, 1))}
+                for i in ids]
+
+    def set_task(self, task):
+        self._task = np.array([task["goal"]])
+
+
+class TestEvalTaskSelection:
+    def test_each3_covers_every_task_id(self):
+        from exploring_meta_tpu.rl.evaluate import sample_3_from_each_task
+        env = DictTaskEnv(seed=0)
+        tasks = sample_3_from_each_task(env, None, pool=200, per_task=3)
+        ids = [t["task"] for t in tasks]
+        for tid in range(5):
+            assert ids.count(tid) == 3
+
+    def test_explicit_task_selection(self):
+        from exploring_meta_tpu.rl.evaluate import sample_explicit_task
+        env = DictTaskEnv(seed=0)
+        # 'drawer-close' is ML10 train id 4
+        t = sample_explicit_task(env, None, "drawer-close", pool=100)
+        assert t is not None and t["task"] == 4
+
+    def test_evaluate_each3_end_to_end(self):
+        env = HostVecEnv(lambda: DictTaskEnv(seed=1), n_envs=2)
+        # delegate dict-task sampling through the vec env
+        policy = DiagNormalPolicy(input_size=2, output_size=1,
+                                  hiddens=(8, 8))
+        params = policy.init(jax.random.key(0))
+        roll = make_host_rollout(env, policy, horizon=6)
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=2,
+                          max_path_length=6)
+        out = rl.evaluate("vpg", policy, params, env, roll, cfg,
+                          n_tasks=0, key=jax.random.key(2),
+                          device_env=False, each3=True)
+        assert len(out["tasks_rewards"]) == 15  # 5 ids x 3 trials
+        assert np.isfinite(out["mean_reward"])

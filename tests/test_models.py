@@ -229,3 +229,18 @@ class TestPolicies:
         a, info = policy.sample(params, jax.random.key(1), jnp.array([0, 3, 5]))
         assert a.shape == (3,)
         assert info["log_prob"].shape == (3,)
+
+
+class TestCategoricalParity:
+    def test_categorical_log_prob_vs_torch(self):
+        torch = pytest.importorskip("torch")
+        from exploring_meta_tpu.models import distributions as dist
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(6, 4)).astype(np.float32)
+        actions = rng.integers(0, 4, size=6)
+        got = np.asarray(dist.categorical_log_prob(jnp.asarray(logits),
+                                                   jnp.asarray(actions)))
+        expected = torch.distributions.Categorical(
+            logits=torch.tensor(logits)).log_prob(
+                torch.tensor(actions)).numpy()
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
