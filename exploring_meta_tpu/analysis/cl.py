@@ -113,8 +113,13 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
 
     key, tk = jax.random.split(key)
     tasks = env.sample_tasks(tk, n_tasks)
+    # Host envs (MuJoCo / Meta-World) return a Python list of task objects
+    # and an eager rollout_fn — loop instead of vmapping (the reference is
+    # always eager: cl_rl.py:49-124).
+    host_env = isinstance(tasks, list)
+    maybe_jit = (lambda f: f) if host_env else jax.jit
 
-    @jax.jit
+    @maybe_jit
     def adapt_on(task, k):
         if algo == "vpg":
             adapted, _, _ = rl_mod.fast_adapt_vpg(policy, params, rollout_fn,
@@ -128,21 +133,27 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
                                                       cfg)
         return adapted
 
-    @jax.jit
+    def eval_one(adapted, task, kk):
+        traj = rollout_fn(adapted, task, kk)
+        rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
+        suc = jnp.mean(traj.episode_successes())
+        return rew, suc
+
+    @maybe_jit
     def eval_on_all(adapted, k):
-        def one(task, kk):
-            traj = rollout_fn(adapted, task, kk)
-            rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
-            suc = jnp.mean(traj.episode_successes())
-            return rew, suc
         keys = jax.random.split(k, n_tasks)
-        return jax.vmap(one)(tasks, keys)
+        if host_env:
+            pairs = [eval_one(adapted, t, kk) for t, kk in zip(tasks, keys)]
+            return (jnp.stack([p[0] for p in pairs]),
+                    jnp.stack([p[1] for p in pairs]))
+        return jax.vmap(lambda t, kk: eval_one(adapted, t, kk))(tasks, keys)
 
     rew_matrix = np.zeros((n_tasks, n_tasks))
     suc_matrix = np.zeros((n_tasks, n_tasks))
     for i in range(n_tasks):
         key, ka, ke = jax.random.split(key, 3)
-        task_i = jax.tree_util.tree_map(lambda x: x[i], tasks)
+        task_i = tasks[i] if host_env else jax.tree_util.tree_map(
+            lambda x: x[i], tasks)
         adapted = adapt_on(task_i, ka)
         rews, sucs = eval_on_all(adapted, ke)
         rew_matrix[i] = np.asarray(rews)

@@ -3,6 +3,14 @@
 Rebuild of reference ``misc_scripts/eval_rl.py``: reload a trained policy
 from a run directory, then run meta-test evaluation and optionally the CL
 and representation-change experiments on fresh tasks.
+
+Routes through ``envs.factory.make_env`` so device (Particles2D), MuJoCo
+(AntDirection) and Meta-World run dirs all evaluate; supports the
+reference's eval switches — ``test_on_train`` (eval on the benchmark's
+TRAIN tasks, eval_rl.py:32), ``each3`` (3 trials per distinct task,
+:33), an explicit named task (:46-49), and checkpoint selection
+(:29,126-139) — and writes the per-task-name reward artifacts + ML10 bar
+plots (:170-179).
 """
 
 from __future__ import annotations
@@ -15,21 +23,37 @@ import jax
 from exploring_meta_tpu import rl
 from exploring_meta_tpu.analysis.cl import run_cl_rl_exp
 from exploring_meta_tpu.analysis.rc import run_rep_rl_exp
-from exploring_meta_tpu.trainers.rl import build_policy, make_device_env
+from exploring_meta_tpu.envs.factory import make_env
+from exploring_meta_tpu.trainers.rl import build_policy
 from exploring_meta_tpu.utils.experiment import load_params
+from exploring_meta_tpu.utils.plotter import (
+    bar_plot_ml10, bar_plot_ml10_one_task,
+)
+
+
+def _checkpoint_path(base_path: str, checkpoint: int | None) -> str:
+    """model.npz, or model_checkpoints/model_<N>.npz when a checkpoint
+    number is chosen (reference eval_rl.py:126-139)."""
+    if checkpoint is None:
+        return os.path.join(base_path, "model.npz")
+    return os.path.join(base_path, "model_checkpoints",
+                        f"model_{checkpoint}.npz")
 
 
 def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
-        run_rc: bool = False, n_eval_tasks: int | None = None) -> dict:
+        run_rc: bool = False, n_eval_tasks: int | str | None = None,
+        each3: bool = False, test_on_train: bool = False,
+        checkpoint: int | None = None, workers: int | None = None) -> dict:
+    """Evaluate a run directory. ``n_eval_tasks`` may be an int (sample
+    that many tasks) or a task name string (explicit single ML10 task,
+    reference eval_params['n_tasks'] comment at eval_rl.py:46-49)."""
     with open(os.path.join(base_path, "logger.json")) as f:
         config = json.load(f)["config"]
     anil = config["algo"].startswith("anil")
     algo = config["algo"].split("_")[-1]
-
-    env = make_device_env(config["dataset"])  # dataset field holds env name
-    policy = build_policy(env, anil)
-    template = policy.init(jax.random.key(0))
-    params = load_params(os.path.join(base_path, "model.npz"), template)
+    env_name = config["dataset"]  # dataset field holds env name
+    extra_info = env_name.startswith("ML")
+    seed = config["seed"]
 
     cfg = rl.RLConfig(
         inner_lr=config["inner_lr"], gamma=config["gamma"],
@@ -38,19 +62,51 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
         max_path_length=config["max_path_length"],
         ppo_epochs=config.get("ppo_epochs", 3),
         ppo_clip_ratio=config.get("ppo_clip_ratio", 0.3), anil=anil)
-    roll = rl.make_rollout(env, policy.sample,
-                           episodes=cfg.adapt_batch_size,
-                           horizon=cfg.max_path_length)
 
-    key = jax.random.key(config["seed"] + 1)
+    # Meta-test env: test split unless test_on_train (reference rl.py:153).
+    env, is_device = make_env(env_name,
+                              workers=workers or cfg.adapt_batch_size,
+                              seed=seed, test=(not test_on_train),
+                              max_path_length=cfg.max_path_length)
+    policy = build_policy(env, anil, fc_neurons=config.get("fc_neurons", 100))
+    template = policy.init(jax.random.key(0))
+    params = load_params(_checkpoint_path(base_path, checkpoint), template)
+
+    if is_device:
+        roll = rl.make_rollout(env, policy.sample,
+                               episodes=cfg.adapt_batch_size,
+                               horizon=cfg.max_path_length)
+    else:
+        from exploring_meta_tpu.envs.host import make_host_rollout
+        roll = make_host_rollout(env, policy, cfg.max_path_length)
+
+    key = jax.random.key(seed + 1)
     out = {}
     if run_eval:
         key, k = jax.random.split(key)
+        n_tasks = n_eval_tasks if n_eval_tasks is not None else config.get(
+            "n_eval_tasks", 10)
         out["eval"] = rl.evaluate(
-            algo, policy, params, env, roll, cfg,
-            n_tasks=n_eval_tasks or config.get("n_eval_tasks", 10), key=k)
+            algo, policy, params, env, roll, cfg, n_tasks=n_tasks, key=k,
+            device_env=is_device, each3=each3, test_on_train=test_on_train,
+            extra_info=extra_info)
         print("Final evaluation:", out["eval"]["mean_reward"],
               "success:", out["eval"]["mean_success"])
+
+        res_per_task = out["eval"]["rewards_per_task"]
+        if res_per_task:
+            # Reference artifact contract (eval_rl.py:170-179): per-task
+            # json + ML10 bar plot, named <algo>_<train|test>_<seed>.
+            t_test = "train" if test_on_train else "test"
+            stem = f"{config['algo']}_{t_test}_{seed}"
+            with open(os.path.join(base_path, f"{stem}.json"), "w") as f:
+                json.dump(res_per_task, f)
+            bar_plot_ml10(res_per_task,
+                          os.path.join(base_path, f"{stem}.png"))
+            if isinstance(n_tasks, str):
+                bar_plot_ml10_one_task(
+                    res_per_task,
+                    os.path.join(base_path, f"{stem}_{n_tasks}.png"))
     if run_cl:
         key, k = jax.random.split(key)
         _, cl_rew, cl_suc = run_cl_rl_exp(base_path, policy, params, env,

@@ -11,16 +11,20 @@ from exploring_meta_tpu.envs.particles2d import Particles2D
 
 
 def make_env(name: str, workers: int = 1, seed: int = 42,
-             test: bool = False, max_path_length: int = 150):
+             test: bool = False, max_path_length: int = 150,
+             backend: str = "auto", n_threads: int | None = None):
     """-> (env, is_device_env). ``workers`` = parallel episode slots for
     host envs (the reference's AsyncVectorEnv worker count,
-    env_maker.py:18-21)."""
+    env_maker.py:18-21). Host envs step through the native C++ thread
+    pool when available (``backend="auto"``); ``n_threads`` caps the pool
+    (default: min(workers, cpu_count))."""
     if name.startswith("Particles2D"):
         return Particles2D(), True
 
     if name.startswith("AntDirection"):
         from exploring_meta_tpu.envs.host import AntDirectionEnv, HostVecEnv
-        return HostVecEnv(lambda: AntDirectionEnv(seed=seed), workers), False
+        return HostVecEnv(lambda: AntDirectionEnv(seed=seed), workers,
+                          backend=backend, n_threads=n_threads), False
 
     if name.startswith("ML"):
         from exploring_meta_tpu.envs.host import HostVecEnv
@@ -32,7 +36,7 @@ def make_env(name: str, workers: int = 1, seed: int = 42,
         return HostVecEnv(
             lambda: MetaWorldEnv(bench, task_name, seed=seed, test=test,
                                  max_path_length=max_path_length),
-            workers), False
+            workers, backend=backend, n_threads=n_threads), False
 
     raise ValueError(f"unknown environment {name!r}")
 

@@ -50,6 +50,10 @@ class AntDirectionEnv:
         self._act_low = self._env.action_space.low
         self._act_high = self._env.action_space.high
         self._rng = np.random.default_rng(seed)
+        # Seed gym's np_random NOW (reference make_env seeds at build,
+        # env_maker.py:16): otherwise reset(seed=None) draws from OS
+        # entropy and runs are irreproducible.
+        self._env.reset(seed=seed)
 
     # MetaEnv task API (l2l parity: sample_tasks / set_task)
     def sample_tasks(self, key, n: int) -> np.ndarray:
@@ -87,17 +91,34 @@ class AntDirectionEnv:
 class HostVecEnv:
     """Step E host envs in lockstep and emit a device Trajectory.
 
-    The AsyncVectorEnv replacement: with one host core (this machine) the
-    envs run sequentially; the interface leaves room for a process/thread
-    pool or the C++ rollout service without changing callers.
+    The AsyncVectorEnv replacement. Batched stepping goes through the C++
+    thread-pool service (native/vecenv.cpp ``vecenv_create_python``) when
+    available — one ctypes crossing per step for the whole batch, env
+    physics overlapping across pool threads (MuJoCo releases the GIL in
+    ``mj_step``) — with a sequential pure-Python fallback.
+
+    ``backend``: "auto" (native when buildable, else Python), "native"
+    (required), or "python" (forced sequential loop).
     """
 
-    def __init__(self, env_factory: Callable[[], object], n_envs: int):
+    def __init__(self, env_factory: Callable[[], object], n_envs: int,
+                 backend: str = "auto", n_threads: int | None = None):
         self.envs = [env_factory() for _ in range(n_envs)]
         self.n_envs = n_envs
         e = self.envs[0]
         self.obs_size = e.obs_size
         self.action_size = e.action_size
+        self._pool = None
+        if backend in ("auto", "native"):
+            try:
+                from exploring_meta_tpu.native.binding import PythonEnvPool
+                self._pool = PythonEnvPool(self.envs, n_threads=n_threads)
+            except Exception as exc:
+                if backend == "native":
+                    raise
+                print(f"native env pool unavailable ({exc}); "
+                      "falling back to sequential stepping")
+        self.backend = "native" if self._pool is not None else "python"
 
     def sample_tasks(self, key, n: int):
         return self.envs[0].sample_tasks(key, n)
@@ -115,7 +136,10 @@ class HostVecEnv:
         the host->device boundary once per step, batched over E.
         """
         E, T = self.n_envs, horizon
-        obs = np.stack([e.reset(seed=seed) for e in self.envs])
+        if self._pool is not None:
+            obs = self._pool.reset(seed=seed)
+        else:
+            obs = np.stack([e.reset(seed=seed) for e in self.envs])
         states = np.zeros((T, E, self.obs_size), np.float32)
         next_states = np.zeros_like(states)
         actions = np.zeros((T, E, self.action_size), np.float32)
@@ -134,12 +158,23 @@ class HostVecEnv:
             actions[t] = acts
             timesteps[t] = t_in_ep
             valids[t] = alive.astype(np.float32)
-            for i, env in enumerate(self.envs):
+            if self._pool is not None:
+                # One native call fans the whole batch across pool threads.
+                # Finished envs get stepped too (results discarded below) —
+                # physics is per-env independent, so recorded trajectories
+                # are identical to the sequential path.
+                o2b, rb, db, sb = self._pool.step(acts)
+                step_results = [(o2b[i], rb[i], db[i] > 0.5, False, sb[i])
+                                for i in range(E)]
+            else:
+                step_results = [env.step(acts[i]) if alive[i] else None
+                                for i, env in enumerate(self.envs)]
+            for i in range(E):
                 if not alive[i]:
                     next_states[t, i] = obs[i]
                     dones[t, i] = 1.0
                     continue
-                o2, r, done, truncated, suc = env.step(acts[i])
+                o2, r, done, truncated, suc = step_results[i]
                 next_states[t, i] = o2
                 rewards[t, i] = r
                 successes[t, i] = suc

@@ -19,6 +19,13 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "vecenv.cpp")
 _LIB_CACHE: dict = {}
 
+_c_double_p = ctypes.POINTER(ctypes.c_double)
+# Indexed per-env callbacks for Python-backed physics (vecenv.cpp
+# py_reset_fn / py_step_fn).
+RESET_CB = ctypes.CFUNCTYPE(None, ctypes.c_int, _c_double_p, _c_double_p)
+STEP_CB = ctypes.CFUNCTYPE(None, ctypes.c_int, _c_double_p, _c_double_p,
+                           _c_double_p, _c_double_p, _c_double_p)
+
 
 def _lib_path() -> str:
     with open(_SRC, "rb") as f:
@@ -53,6 +60,10 @@ def load_vecenv_library() -> ctypes.CDLL | None:
     lib.vecenv_reset.argtypes = [ctypes.c_void_p, c_double_p, ctypes.c_int,
                                  ctypes.c_int, c_double_p]
     lib.vecenv_step.argtypes = [ctypes.c_void_p] + [c_double_p] * 5
+    lib.vecenv_create_python.restype = ctypes.c_void_p
+    lib.vecenv_create_python.argtypes = [RESET_CB, STEP_CB, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int]
     _LIB_CACHE[path] = lib
     return lib
 
@@ -108,4 +119,93 @@ class NativeVecEnv:
         suc = np.empty(self.n_envs, np.float64)
         self._lib.vecenv_step(self._h, _ptr(actions), _ptr(obs), _ptr(rew),
                               _ptr(done), _ptr(suc))
+        return obs, rew, done, suc
+
+
+class PythonEnvPool:
+    """C++ thread pool stepping PYTHON env objects (MuJoCo / Meta-World).
+
+    The batch fan-out, worker threads and completion barrier live in C++
+    (``vecenv_create_python``); each env's physics is re-entered through a
+    ctypes callback. MuJoCo releases the GIL inside ``mj_step``, so env
+    steps overlap across pool threads — the in-process, TPU-host analog of
+    l2l's ``AsyncVectorEnv`` subprocess pool (reference
+    ``utils/env_maker.py:18-21``), without pipes or pickling.
+
+    Envs must follow the host-env protocol of envs/host.py:
+    ``reset(seed=) -> obs`` and ``step(a) -> (obs, r, done, trunc, suc)``.
+    """
+
+    def __init__(self, envs: list, n_threads: int | None = None):
+        self._lib = load_vecenv_library()
+        if self._lib is None:
+            raise RuntimeError("native vecenv library unavailable")
+        self.envs = envs
+        self.n_envs = len(envs)
+        e = envs[0]
+        self.obs_size = int(e.obs_size)
+        self.action_size = int(e.action_size)
+        self._reset_seed = None
+        self._error = None
+
+        def _reset_cb(i, task_ptr, obs_ptr):
+            try:
+                obs = self.envs[i].reset(seed=self._reset_seed)
+                ctypes.memmove(obs_ptr,
+                               np.ascontiguousarray(obs, np.float64).ctypes.data,
+                               8 * self.obs_size)
+            except BaseException as exc:  # ctypes swallows exceptions
+                self._error = exc
+
+        def _step_cb(i, act_ptr, obs_ptr, rew_ptr, done_ptr, suc_ptr):
+            try:
+                action = np.ctypeslib.as_array(act_ptr,
+                                               (self.action_size,))
+                obs, rew, done, _trunc, suc = self.envs[i].step(action)
+                ctypes.memmove(obs_ptr,
+                               np.ascontiguousarray(obs, np.float64).ctypes.data,
+                               8 * self.obs_size)
+                rew_ptr[0] = float(rew)
+                done_ptr[0] = 1.0 if done else 0.0
+                suc_ptr[0] = float(suc)
+            except BaseException as exc:
+                self._error = exc
+
+        # Keep CFUNCTYPE wrappers alive for the pool's lifetime (GC'ing
+        # them while C++ holds the raw pointer is a segfault).
+        self._reset_cb = RESET_CB(_reset_cb)
+        self._step_cb = STEP_CB(_step_cb)
+        threads = n_threads if n_threads is not None else min(
+            self.n_envs, os.cpu_count() or 1)
+        self._h = self._lib.vecenv_create_python(
+            self._reset_cb, self._step_cb, self.obs_size, self.action_size,
+            self.n_envs, threads)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.vecenv_destroy(self._h)
+            self._h = None
+
+    def _check(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def reset(self, seed: int | None = None) -> np.ndarray:
+        self._reset_seed = seed
+        dummy = np.zeros((1, 1), np.float64)  # tasks set Python-side
+        obs = np.empty((self.n_envs, self.obs_size), np.float64)
+        self._lib.vecenv_reset(self._h, _ptr(dummy), 1, 1, _ptr(obs))
+        self._check()
+        return obs
+
+    def step(self, actions: np.ndarray):
+        actions = np.ascontiguousarray(actions, np.float64)
+        obs = np.empty((self.n_envs, self.obs_size), np.float64)
+        rew = np.empty(self.n_envs, np.float64)
+        done = np.empty(self.n_envs, np.float64)
+        suc = np.empty(self.n_envs, np.float64)
+        self._lib.vecenv_step(self._h, _ptr(actions), _ptr(obs), _ptr(rew),
+                              _ptr(done), _ptr(suc))
+        self._check()
         return obs, rew, done, suc

@@ -164,12 +164,55 @@ struct VecEnv {
 };
 
 // ---------------------------------------------------------------------------
+// Python-backed envs: physics that lives in Python objects (MuJoCo Ant,
+// Meta-World) is driven through per-env INDEXED callbacks. The C++ pool
+// owns the batch fan-out; each callback re-enters Python (ctypes acquires
+// the GIL) and the physics core (MuJoCo mj_step) releases the GIL again,
+// so env steps genuinely overlap across threads.
+// ---------------------------------------------------------------------------
+
+typedef void (*py_reset_fn)(int env_idx, const double* task, double* obs);
+typedef void (*py_step_fn)(int env_idx, const double* action, double* obs,
+                           double* reward, double* done, double* success);
+
+struct PyEnvState {
+  int32_t idx;
+  py_reset_fn reset;
+  py_step_fn step;
+};
+
+static void py_shim_reset(void* s, const double* task, double* obs) {
+  auto* st = reinterpret_cast<PyEnvState*>(s);
+  st->reset(st->idx, task, obs);
+}
+
+static void py_shim_step(void* s, const double* action, double* obs,
+                         double* reward, double* done, double* success) {
+  auto* st = reinterpret_cast<PyEnvState*>(s);
+  st->step(st->idx, action, obs, reward, done, success);
+}
+
+// ---------------------------------------------------------------------------
 // C API
 // ---------------------------------------------------------------------------
 
 void* vecenv_create_particles2d(int n_envs, int n_threads) {
   EnvVTable vt{p2d_reset, p2d_step, 2, 2, sizeof(P2DState)};
   return new VecEnv(vt, n_envs, n_threads);
+}
+
+void* vecenv_create_python(py_reset_fn reset, py_step_fn step, int obs_size,
+                           int action_size, int n_envs, int n_threads) {
+  EnvVTable vt{py_shim_reset, py_shim_step, obs_size, action_size,
+               static_cast<int>(sizeof(PyEnvState))};
+  auto* ve = new VecEnv(vt, n_envs, n_threads);
+  for (int i = 0; i < n_envs; ++i) {
+    auto* st = reinterpret_cast<PyEnvState*>(ve->states[i].data());
+    st->idx = i;
+    st->reset = reset;
+    st->step = step;
+  }
+  return ve;
 }
 
 void* vecenv_create_custom(env_reset_fn reset, env_step_fn step,

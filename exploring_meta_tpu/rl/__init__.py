@@ -23,6 +23,7 @@ from exploring_meta_tpu.rl.trpo_meta import (
 )
 from exploring_meta_tpu.rl.evaluate import (
     evaluate,
+    meta_test,
     ML10_TRAIN_TASK_NAMES,
     ML10_EVAL_TASK_NAMES,
 )
@@ -32,7 +33,7 @@ __all__ = [
     "masked_normalize", "traj_advantages", "vpg_a2c_loss", "fast_adapt_vpg",
     "fast_adapt_ppo", "trpo_a2c_loss", "trpo_update", "fast_adapt_trpo",
     "policy_anil_mask", "TRPOConfig", "stack_replays", "meta_surrogate_loss",
-    "meta_optimize_trpo", "make_trpo_meta_step", "evaluate",
+    "meta_optimize_trpo", "make_trpo_meta_step", "evaluate", "meta_test",
     "ML10_TRAIN_TASK_NAMES", "ML10_EVAL_TASK_NAMES",
 ]
 

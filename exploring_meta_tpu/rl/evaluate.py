@@ -2,7 +2,10 @@
 
 Reference ``evaluate`` (``core_functions/rl.py:142-196``) with its three
 task-selection modes: ``n_tasks`` sampled tasks, ``each3`` (3 trials per
-distinct task id — Meta-World), or one explicit named task.
+distinct task id — Meta-World), or one explicit named task — plus the
+``test_on_train`` switch that evaluates on the benchmark's TRAIN task set
+(rl.py:147-153) and the ``rewards_per_task`` output keyed by ML10 task
+NAME (rl.py:143,186-190) that feeds the bar plotters.
 """
 
 from __future__ import annotations
@@ -45,8 +48,12 @@ def sample_3_from_each_task(env, key, pool: int = 200, per_task: int = 3):
 def sample_explicit_task(env, key, task_name: str, pool: int = 100):
     """Find one sampled task matching a named ML10 task (reference
     ``sample_explicit_task``, rl.py:128-139)."""
-    names = {**ML10_EVAL_TASK_NAMES, **ML10_TRAIN_TASK_NAMES}
-    index = {v: k for k, v in names.items()}[task_name]
+    # Eval table first, else train table (reference rl.py:130-133) — the
+    # two tables share int ids, so they must NOT be merged.
+    table = (ML10_EVAL_TASK_NAMES
+             if task_name in ML10_EVAL_TASK_NAMES.values()
+             else ML10_TRAIN_TASK_NAMES)
+    index = {v: k for k, v in table.items()}[task_name]
     for t in env.sample_tasks(key, pool):
         if t["task"] == index:
             return t
@@ -55,17 +62,31 @@ def sample_explicit_task(env, key, task_name: str, pool: int = 100):
 
 def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
              cfg: RLConfig, n_tasks: int | str, key,
-             device_env: bool = True, each3: bool = False) -> dict:
+             device_env: bool = True, each3: bool = False,
+             test_on_train: bool = False, extra_info: bool = False) -> dict:
     """Adapt + evaluate on fresh tasks; -> metrics dict with per-task
-    rewards, mean reward, mean success rate.
+    rewards, mean reward, mean success rate, and (Meta-World) rewards
+    grouped by task name.
 
     Task selection (reference rl.py:155-161): ``n_tasks`` int samples that
     many tasks; ``each3=True`` takes 3 trials of every distinct task id;
     a string ``n_tasks`` selects one explicitly named ML10 task.
 
+    ``test_on_train`` only picks the name table here (rl.py:147-150); the
+    caller owns env construction with ``test=(not test_on_train)`` — use
+    :func:`meta_test` for the full reference contract.
+
+    ``extra_info=True`` (reference rl.py:152: env is Meta-World) groups
+    ``[reward, success]`` pairs per task name into ``rewards_per_task``.
+
     ``device_env=True`` vmaps all task adaptations into one XLA program;
     ``False`` loops eagerly (host-physics envs, whose tasks may be
-    arbitrary Python objects)."""
+    arbitrary Python objects).
+
+    Note: ``mean_reward`` is the true mean over the evaluated task list —
+    the reference divides by ``params['n_tasks']`` even under ``each3``
+    where the list is longer (rl.py:191), which we treat as a bug.
+    """
     key, tk = jax.random.split(key)
     if each3:
         tasks = sample_3_from_each_task(env, tk)
@@ -103,8 +124,54 @@ def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
         pairs = [eval_one(task, k) for task, k in zip(tasks, keys)]
         rewards = jnp.stack([p[0] for p in pairs])
         successes = jnp.stack([p[1] for p in pairs])
+
+    # Per-task-name grouping (reference rl.py:186-190): alternating
+    # [reward, success_rate] pairs per name, the bar_plot_ml10 contract.
+    rewards_per_task: dict = {}
+    if extra_info and not device_env:
+        names = (ML10_TRAIN_TASK_NAMES if test_on_train
+                 else ML10_EVAL_TASK_NAMES)
+        for task, rew, suc in zip(tasks, rewards, successes):
+            name = names.get(task["task"], str(task["task"]))
+            rewards_per_task.setdefault(name, []).extend(
+                [float(rew), float(suc)])
+
     return {
         "tasks_rewards": [float(r) for r in rewards],
+        "tasks_success_rate": [float(s) for s in successes],
         "mean_reward": float(jnp.mean(rewards)),
         "mean_success": float(jnp.mean(successes)),
+        "rewards_per_task": rewards_per_task,
     }
+
+
+def meta_test(algo: str, env_name: str, policy, params, cfg: RLConfig,
+              n_tasks: int | str, key, seed: int = 42,
+              test_on_train: bool = False, each3: bool = False,
+              workers: int | None = None) -> dict:
+    """The reference's full ``evaluate`` contract (rl.py:142-196): build a
+    FRESH env from the name with ``test=(not test_on_train)`` (rl.py:153),
+    then adapt + evaluate. Routes device envs through the vmapped path and
+    host envs (MuJoCo / Meta-World) through the eager path.
+
+    ``workers`` = host-env episode slots; defaults to
+    ``cfg.adapt_batch_size`` so one HostVecEnv.collect yields the full
+    episode batch (the reference steps 1 worker x adapt_batch_size
+    sequential episodes — same data, lockstep here)."""
+    from exploring_meta_tpu.envs.factory import make_env
+    from exploring_meta_tpu.rl.rollout import make_rollout
+
+    env, is_device = make_env(env_name, workers=workers or cfg.adapt_batch_size,
+                              seed=seed, test=(not test_on_train),
+                              max_path_length=cfg.max_path_length)
+    if is_device:
+        roll = make_rollout(env, policy.sample,
+                            episodes=cfg.adapt_batch_size,
+                            horizon=cfg.max_path_length)
+    else:
+        from exploring_meta_tpu.envs.host import make_host_rollout
+        roll = make_host_rollout(env, policy, cfg.max_path_length)
+    return evaluate(algo, policy, params, env, roll, cfg, n_tasks, key,
+                    device_env=is_device, each3=each3,
+                    test_on_train=test_on_train,
+                    extra_info=env_name.startswith("ML"))

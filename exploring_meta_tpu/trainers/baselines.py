@@ -15,10 +15,11 @@ import optax
 from tqdm import trange
 
 from exploring_meta_tpu import adapt, models, rl, tasks
+from exploring_meta_tpu.envs.factory import make_env
 from exploring_meta_tpu.ops.cg import conjugate_gradient
 from exploring_meta_tpu.ops.losses import accuracy, cross_entropy
 from exploring_meta_tpu.models.distributions import normal_kl, normal_log_prob
-from exploring_meta_tpu.trainers.rl import build_policy, make_device_env
+from exploring_meta_tpu.trainers.rl import build_policy
 from exploring_meta_tpu.trainers.vision import _build_spec
 from exploring_meta_tpu.utils.config import RLScriptConfig, VisionConfig
 from exploring_meta_tpu.utils.experiment import Experiment
@@ -27,6 +28,34 @@ from exploring_meta_tpu.utils.experiment import Experiment
 # ---------------------------------------------------------------------------
 # RL baselines
 # ---------------------------------------------------------------------------
+
+def _setup_rl_baseline(cfg: RLScriptConfig):
+    """Env + policy + rollout routing shared by the RL baselines.
+
+    Reference baselines train on whatever ``make_env`` yields — multitask
+    Meta-World included (``baselines/ppo.py:42-48``) — so this routes
+    device envs to the fused scan rollout and host envs (MuJoCo /
+    Meta-World) to the eager HostVecEnv path."""
+    env, is_device = make_env(cfg.env, workers=cfg.adapt_batch_size,
+                              seed=cfg.seed,
+                              max_path_length=cfg.max_path_length)
+    policy = build_policy(env, anil=False)
+    if is_device:
+        roll = rl.make_rollout(env, policy.sample,
+                               episodes=cfg.adapt_batch_size,
+                               horizon=cfg.max_path_length)
+    else:
+        from exploring_meta_tpu.envs.host import make_host_rollout
+        roll = make_host_rollout(env, policy, cfg.max_path_length)
+    return env, is_device, policy, roll
+
+
+def _task_at(tasks, i: int):
+    """Index one task out of a sampled batch: host envs give Python lists,
+    device envs give stacked arrays."""
+    if isinstance(tasks, list):
+        return tasks[i]
+    return jax.tree_util.tree_map(lambda x: x[i], tasks)
 
 class PPOBaseline(Experiment):
     """Plain PPO across tasks (reference baselines/ppo.py)."""
@@ -38,8 +67,7 @@ class PPOBaseline(Experiment):
 
     def run(self) -> dict:
         cfg = self.cfg
-        env = make_device_env(cfg.env)
-        policy = build_policy(env, anil=False)
+        env, is_device, policy, roll = _setup_rl_baseline(cfg)
         key = jax.random.key(cfg.seed)
         key, ik = jax.random.split(key)
         params = policy.init(ik)
@@ -51,13 +79,8 @@ class PPOBaseline(Experiment):
                              max_path_length=cfg.max_path_length,
                              ppo_epochs=cfg.ppo_epochs,
                              ppo_clip_ratio=cfg.ppo_clip_ratio)
-        roll = rl.make_rollout(env, policy.sample,
-                               episodes=cfg.adapt_batch_size,
-                               horizon=cfg.max_path_length)
 
-        @jax.jit
-        def ppo_step(params, opt_state, task, k):
-            traj = roll(params, task, k)
+        def ppo_update(params, opt_state, traj):
             adv, _ = rl.traj_advantages(traj, rl_cfg)
             adv_flat = jax.lax.stop_gradient(rl.masked_normalize(
                 traj.flat(adv), traj.flat(traj.valid)))[:, None]
@@ -83,6 +106,18 @@ class PPOBaseline(Experiment):
             rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
             return params, opt_state, total / rl_cfg.ppo_epochs, rew
 
+        if is_device:
+            # Fused: rollout + ppo epochs in ONE XLA program (a standalone
+            # jitted scan is pathologically slow on this runtime).
+            @jax.jit
+            def ppo_step(params, opt_state, task, k):
+                return ppo_update(params, opt_state, roll(params, task, k))
+        else:
+            jit_update = jax.jit(ppo_update)
+
+            def ppo_step(params, opt_state, task, k):
+                return jit_update(params, opt_state, roll(params, task, k))
+
         t = trange(cfg.num_iterations)
         iteration = 0
         try:
@@ -92,9 +127,8 @@ class PPOBaseline(Experiment):
                 iter_rew, iter_loss = 0.0, 0.0
                 for i in range(cfg.meta_batch_size):
                     key, k = jax.random.split(key)
-                    task = jax.tree_util.tree_map(lambda x: x[i], task_list)
                     params, opt_state, loss, rew = ppo_step(
-                        params, opt_state, task, k)
+                        params, opt_state, _task_at(task_list, i), k)
                     iter_rew += float(rew)
                     iter_loss += float(loss)
                 metrics = {"average_return": iter_rew / cfg.meta_batch_size,
@@ -111,12 +145,13 @@ class PPOBaseline(Experiment):
         self.save_model(params)
         self.logger["elapsed_time"] = f"{round(t.format_dict['elapsed'], 2)} sec"
 
-        # Meta-test with few-step adaptation (reference ppo.py:135-136).
+        # Meta-test with few-step adaptation on a fresh test env
+        # (reference ppo.py:135-136 wraps the trained policy in MAML).
         key, ek = jax.random.split(key)
         adapt_cfg = rl_cfg._replace(inner_lr=cfg.inner_lr,
                                     adapt_steps=cfg.adapt_steps)
-        final = rl.evaluate("ppo", policy, params, env, roll, adapt_cfg,
-                            n_tasks=cfg.n_eval_tasks, key=ek)
+        final = rl.meta_test("ppo", cfg.env, policy, params, adapt_cfg,
+                             n_tasks=cfg.n_eval_tasks, key=ek, seed=cfg.seed)
         self.logger["test_reward"] = final["mean_reward"]
         self.log_metrics({"test_reward": final["mean_reward"]})
         self.save_logs_to_file()
@@ -134,8 +169,7 @@ class TRPOBaseline(Experiment):
 
     def run(self) -> dict:
         cfg = self.cfg
-        env = make_device_env(cfg.env)
-        policy = build_policy(env, anil=False)
+        env, is_device, policy, roll = _setup_rl_baseline(cfg)
         key = jax.random.key(cfg.seed)
         key, ik = jax.random.split(key)
         params = policy.init(ik)
@@ -143,15 +177,10 @@ class TRPOBaseline(Experiment):
         rl_cfg = rl.RLConfig(gamma=cfg.gamma, tau=cfg.tau,
                              adapt_batch_size=cfg.adapt_batch_size,
                              max_path_length=cfg.max_path_length)
-        roll = rl.make_rollout(env, policy.sample,
-                               episodes=cfg.adapt_batch_size,
-                               horizon=cfg.max_path_length)
 
         from jax.flatten_util import ravel_pytree
 
-        @jax.jit
-        def trpo_step(params, task, k):
-            traj = roll(params, task, k)
+        def trpo_update(params, traj):
             adv, _ = rl.traj_advantages(traj, rl_cfg)
             adv_flat = jax.lax.stop_gradient(rl.masked_normalize(
                 traj.flat(adv), traj.flat(traj.valid)))[:, None]
@@ -212,6 +241,16 @@ class TRPOBaseline(Experiment):
             rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
             return unravel(final), rew
 
+        if is_device:
+            @jax.jit
+            def trpo_step(params, task, k):
+                return trpo_update(params, roll(params, task, k))
+        else:
+            jit_update = jax.jit(trpo_update)
+
+            def trpo_step(params, task, k):
+                return jit_update(params, roll(params, task, k))
+
         t = trange(cfg.num_iterations)
         iteration = 0
         try:
@@ -221,8 +260,7 @@ class TRPOBaseline(Experiment):
                 iter_rew = 0.0
                 for i in range(cfg.meta_batch_size):
                     key, k = jax.random.split(key)
-                    task = jax.tree_util.tree_map(lambda x: x[i], task_list)
-                    params, rew = trpo_step(params, task, k)
+                    params, rew = trpo_step(params, _task_at(task_list, i), k)
                     iter_rew += float(rew)
                 metrics = {"average_return": iter_rew / cfg.meta_batch_size}
                 t.set_postfix(metrics)
@@ -239,8 +277,8 @@ class TRPOBaseline(Experiment):
         key, ek = jax.random.split(key)
         adapt_cfg = rl_cfg._replace(inner_lr=cfg.inner_lr,
                                     adapt_steps=cfg.adapt_steps)
-        final = rl.evaluate("trpo", policy, params, env, roll, adapt_cfg,
-                            n_tasks=cfg.n_eval_tasks, key=ek)
+        final = rl.meta_test("trpo", cfg.env, policy, params, adapt_cfg,
+                             n_tasks=cfg.n_eval_tasks, key=ek, seed=cfg.seed)
         self.logger["test_reward"] = final["mean_reward"]
         self.save_logs_to_file()
         return final
@@ -257,8 +295,7 @@ class RandomPolicyBaseline(Experiment):
 
     def run(self) -> dict:
         cfg = self.cfg
-        env = make_device_env(cfg.env)
-        policy = build_policy(env, anil=False)
+        env, is_device, policy, roll = _setup_rl_baseline(cfg)
         key = jax.random.key(cfg.seed)
         key, ik = jax.random.split(key)
         params = policy.init(ik)
@@ -267,12 +304,9 @@ class RandomPolicyBaseline(Experiment):
                              adapt_steps=cfg.adapt_steps,
                              adapt_batch_size=cfg.adapt_batch_size,
                              max_path_length=cfg.max_path_length)
-        roll = rl.make_rollout(env, policy.sample,
-                               episodes=cfg.adapt_batch_size,
-                               horizon=cfg.max_path_length)
         key, ek = jax.random.split(key)
-        final = rl.evaluate("vpg", policy, params, env, roll, rl_cfg,
-                            n_tasks=cfg.n_eval_tasks, key=ek)
+        final = rl.meta_test("vpg", cfg.env, policy, params, rl_cfg,
+                             n_tasks=cfg.n_eval_tasks, key=ek, seed=cfg.seed)
         self.logger["test_reward"] = final["mean_reward"]
         self.save_model(params)
         self.save_logs_to_file()

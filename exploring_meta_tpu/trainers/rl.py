@@ -11,6 +11,9 @@ compiled XLA programs.
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -25,6 +28,7 @@ from exploring_meta_tpu.rl.replay_meta import (
 )
 from exploring_meta_tpu.utils.config import RLScriptConfig
 from exploring_meta_tpu.utils.experiment import Experiment
+from exploring_meta_tpu.utils.profiling import PhaseTimer
 
 
 def make_device_env(name: str):
@@ -56,13 +60,20 @@ class RLTrainer(Experiment):
         self.cfg = cfg
         self.algo = algo
         self.anil = anil
+        self._timer = PhaseTimer() if cfg.profile else None
+
+    def _ph(self, name: str):
+        """Profiling phase context (no-op list sink when profiling is off)."""
+        if self._timer:
+            return self._timer.phase(name)
+        return contextlib.nullcontext([])
 
     def run(self) -> dict:
         cfg = self.cfg
         env, is_device = make_env(cfg.env, workers=cfg.adapt_batch_size,
                                   seed=cfg.seed,
                                   max_path_length=cfg.max_path_length)
-        policy = build_policy(env, self.anil)
+        policy = build_policy(env, self.anil, fc_neurons=cfg.fc_neurons)
         key = jax.random.key(cfg.seed)
         key, ik = jax.random.split(key)
         params = policy.init(ik)
@@ -114,11 +125,16 @@ class RLTrainer(Experiment):
         self.save_model(params)
         self.logger["elapsed_time"] = (
             f"{round(t.format_dict['elapsed'], 2)} sec")
+        if self._timer:
+            self._timer.save(os.path.join(self.model_path,
+                                          "phase_times.json"))
+            print("Phase times:", self._timer.summary())
 
+        # Final meta-test on a FRESH test-split env (reference trainers
+        # call evaluate() which builds test=True, rl.py:153).
         key, ek = jax.random.split(key)
-        final = rl.evaluate(self.algo, policy, params, env, roll, rl_cfg,
-                            n_tasks=cfg.n_eval_tasks, key=ek,
-                            device_env=is_device)
+        final = rl.meta_test(self.algo, cfg.env, policy, params, rl_cfg,
+                             n_tasks=cfg.n_eval_tasks, key=ek, seed=cfg.seed)
         print("Final evaluation:", final["mean_reward"],
               "success:", final["mean_success"])
         self.logger["final_eval"] = final
@@ -163,9 +179,13 @@ class RLTrainer(Experiment):
             k_tasks, k_adapt = jax.random.split(key)
             tasks_batch = env.sample_tasks(k_tasks, cfg.meta_batch_size)
             keys = jax.random.split(k_adapt, cfg.meta_batch_size)
-            old_params, losses, replays, metrics = collect(
-                params, tasks_batch, keys)
-            params, info = meta_step(params, old_params, replays)
+            with self._ph("collect") as sync:
+                old_params, losses, replays, metrics = collect(
+                    params, tasks_batch, keys)
+                sync.append(replays)
+            with self._ph("meta_step") as sync:
+                params, info = meta_step(params, old_params, replays)
+                sync.append(params)
             return params, None, {
                 "adapt_reward": float(jnp.mean(metrics["reward"])),
                 "adapt_success": float(jnp.mean(metrics["success"])),
@@ -189,18 +209,21 @@ class RLTrainer(Experiment):
             key, tk = jax.random.split(key)
             tasks_list = env.sample_tasks(tk, cfg.meta_batch_size)
             replays, old_stack, rews, sucs = [], [], [], []
-            for task in tasks_list:
-                key, k = jax.random.split(key)
-                adapted, _, replay, m = rl.fast_adapt_trpo(
-                    policy, params, roll, task, k, rl_cfg)
-                replays.append(replay)
-                old_stack.append(adapted)
-                rews.append(float(m["reward"]))
-                sucs.append(float(m["success"]))
-            stacked = rl.stack_replays(replays)
-            old_params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                                *old_stack)
-            params, info = meta_step(params, old_params, stacked)
+            with self._ph("collect"):
+                for task in tasks_list:
+                    key, k = jax.random.split(key)
+                    adapted, _, replay, m = rl.fast_adapt_trpo(
+                        policy, params, roll, task, k, rl_cfg)
+                    replays.append(replay)
+                    old_stack.append(adapted)
+                    rews.append(float(m["reward"]))
+                    sucs.append(float(m["success"]))
+            with self._ph("meta_step") as sync:
+                stacked = rl.stack_replays(replays)
+                old_params = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *old_stack)
+                params, info = meta_step(params, old_params, stacked)
+                sync.append(params)
             return params, None, {
                 "adapt_reward": sum(rews) / len(rews),
                 "adapt_success": sum(sucs) / len(sucs),
@@ -230,16 +253,19 @@ class RLTrainer(Experiment):
             key, tk = jax.random.split(key)
             tasks_list = env.sample_tasks(tk, cfg.meta_batch_size)
             replays, rews, sucs = [], [], []
-            for task in tasks_list:
-                key, k = jax.random.split(key)
-                stacked, m = collect_replays(self.algo, policy, params,
-                                             roll, task, k, rl_cfg)
-                replays.append(stacked)
-                rews.append(float(m["reward"]))
-                sucs.append(float(m["success"]))
-            batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                             *replays)
-            params, opt_state, loss = outer(params, opt_state, batched)
+            with self._ph("collect"):
+                for task in tasks_list:
+                    key, k = jax.random.split(key)
+                    stacked, m = collect_replays(self.algo, policy, params,
+                                                 roll, task, k, rl_cfg)
+                    replays.append(stacked)
+                    rews.append(float(m["reward"]))
+                    sucs.append(float(m["success"]))
+            with self._ph("meta_step") as sync:
+                batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                                 *replays)
+                params, opt_state, loss = outer(params, opt_state, batched)
+                sync.append(params)
             return params, opt_state, {
                 "meta_loss": float(loss),
                 "adapt_reward": sum(rews) / len(rews),
@@ -283,8 +309,10 @@ class RLTrainer(Experiment):
             k_tasks, k_adapt = jax.random.split(key)
             tasks_batch = env.sample_tasks(k_tasks, cfg.meta_batch_size)
             keys = jax.random.split(k_adapt, cfg.meta_batch_size)
-            params, opt_state, loss, ms = meta_step(params, opt_state,
-                                                    tasks_batch, keys)
+            with self._ph("meta_step") as sync:
+                params, opt_state, loss, ms = meta_step(params, opt_state,
+                                                        tasks_batch, keys)
+                sync.append(params)
             return params, opt_state, {
                 "meta_loss": float(loss),
                 "adapt_reward": float(jnp.mean(ms["reward"])),

@@ -9,6 +9,9 @@ program, optionally sharded over a device mesh (task-DP).
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 import jax
 import optax
 from tqdm import trange
@@ -16,6 +19,7 @@ from tqdm import trange
 from exploring_meta_tpu import adapt, models, parallel, tasks
 from exploring_meta_tpu.utils.config import VisionConfig
 from exploring_meta_tpu.utils.experiment import Experiment
+from exploring_meta_tpu.utils.profiling import PhaseTimer
 
 
 def _build_spec(cfg: VisionConfig, anil: bool):
@@ -76,20 +80,32 @@ class VisionTrainer(Experiment):
             place = lambda batch: batch
         meta_eval = adapt.make_meta_eval(fast_adapt)
 
+        timer = PhaseTimer() if cfg.profile else None
+        ph = (timer.phase if timer
+              else (lambda name: contextlib.nullcontext([])))
+
         t = trange(start_iteration, cfg.num_iterations,
                    initial=start_iteration, total=cfg.num_iterations)
         iteration = start_iteration
         try:
             for iteration in t:
                 key, k_tr, k_va = jax.random.split(key, 3)
-                data, labels = place(tasks.sample_task_batch(
-                    k_tr, train_ds, cfg.ways, cfg.shots, cfg.meta_batch_size))
-                params, opt_state, train_m = meta_step(
-                    params, opt_state, data, labels)
+                with ph("sample") as sync:
+                    data, labels = place(tasks.sample_task_batch(
+                        k_tr, train_ds, cfg.ways, cfg.shots,
+                        cfg.meta_batch_size))
+                    sync.append(data)
+                with ph("meta_step") as sync:
+                    params, opt_state, train_m = meta_step(
+                        params, opt_state, data, labels)
+                    sync.append(train_m)
 
-                v_data, v_labels = tasks.sample_task_batch(
-                    k_va, valid_ds, cfg.ways, cfg.shots, cfg.meta_batch_size)
-                valid_m = meta_eval(params, v_data, v_labels)
+                with ph("valid_eval") as sync:
+                    v_data, v_labels = tasks.sample_task_batch(
+                        k_va, valid_ds, cfg.ways, cfg.shots,
+                        cfg.meta_batch_size)
+                    valid_m = meta_eval(params, v_data, v_labels)
+                    sync.append(valid_m)
 
                 metrics = {
                     "train_loss": float(train_m["loss"]),
@@ -112,6 +128,9 @@ class VisionTrainer(Experiment):
         self.save_model(params)
         self.logger["elapsed_time"] = (
             f"{round(t.format_dict['elapsed'], 2)} sec")
+        if timer:
+            timer.save(os.path.join(self.model_path, "phase_times.json"))
+            print("Phase times:", timer.summary())
 
         key, k_te = jax.random.split(key)
         t_data, t_labels = tasks.sample_task_batch(

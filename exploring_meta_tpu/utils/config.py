@@ -31,6 +31,7 @@ class VisionConfig:
     mesh: int = 1                # devices for task-DP sharding
     use_wandb: bool = False
     resume: str = ""             # checkpoint .npz to resume from (new capability)
+    profile: bool = False        # per-phase timing -> phase_times.json
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -67,6 +68,8 @@ def vision_argparser(defaults: VisionConfig,
                    default=defaults.use_wandb)
     p.add_argument("--resume", type=str, default=defaults.resume,
                    help="checkpoint .npz to resume training from")
+    p.add_argument("--profile", action="store_true", default=defaults.profile,
+                   help="record per-phase device times -> phase_times.json")
     return p
 
 
@@ -95,8 +98,11 @@ class RLScriptConfig:
     ppo_clip_ratio: float = 0.3
     # extras
     n_eval_tasks: int = 10
+    fc_neurons: int = 100        # ANIL policy head width (reference anil_trpo.py:23)
+    workers: int = 1             # host-env episode slots (reference workers toggle)
     use_wandb: bool = False
     mesh: int = 1                # devices for task-DP sharding (TRPO outer step)
+    profile: bool = False        # per-phase timing -> phase_times.json
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -124,8 +130,14 @@ def rl_argparser(defaults: RLScriptConfig,
     p.add_argument("--gamma", type=float, default=defaults.gamma)
     p.add_argument("--tau", type=float, default=defaults.tau)
     p.add_argument("--n_eval_tasks", type=int, default=defaults.n_eval_tasks)
+    p.add_argument("--fc_neurons", type=int, default=defaults.fc_neurons,
+                   help="ANIL policy head width")
+    p.add_argument("--workers", type=int, default=defaults.workers,
+                   help="host-env episode slots (device envs ignore this)")
     p.add_argument("--mesh", type=int, default=defaults.mesh,
                    help="Devices for task-DP sharding of the outer step")
     p.add_argument("--wandb", dest="use_wandb", action="store_true",
                    default=defaults.use_wandb)
+    p.add_argument("--profile", action="store_true", default=defaults.profile,
+                   help="record per-phase device times -> phase_times.json")
     return p

@@ -78,6 +78,28 @@ def bar_plot_ml10(rewards_per_task: dict, save_path: str | None = None) -> None:
     plt.close(fig)
 
 
+def bar_plot_ml10_one_task(rewards_per_task: dict,
+                           save_path: str | None = None) -> None:
+    """Per-trial reward bars for ONE explicitly evaluated task (reference
+    plotter.py:114-137): rewards_per_task holds alternating
+    [rew, success, ...] pairs; each trial's bar is green when its success
+    rate clears 0.9, red otherwise; y-axis inverted so Trial 1 reads on
+    top."""
+    fig, ax = plt.subplots()
+    trials, colors = [], []
+    for val in rewards_per_task.values():
+        trials.extend(val[0::2])
+        colors.extend("green" if s > 0.9 else "red" for s in val[1::2])
+    y_pos = np.arange(len(trials))
+    ax.barh(y_pos, trials, color=colors, align="center")
+    ax.set_yticks(y_pos)
+    ax.set_yticklabels([f"Trial {i + 1}" for i in range(len(trials))])
+    ax.invert_yaxis()  # labels read top-to-bottom
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_list(values, title: str = "", save_path: str | None = None) -> None:
     fig, ax = plt.subplots()
     ax.plot(np.asarray(values, dtype=float))

@@ -14,11 +14,31 @@ import time
 from collections import defaultdict
 
 import jax
+import jax.numpy as jnp
+
+
+def host_sync(tree) -> None:
+    """Force completion of all device work ``tree`` depends on by fetching
+    a scalar reduction of it to host.
+
+    ``jax.block_until_ready`` does NOT synchronize on this remote runtime
+    (CLAUDE.md gotcha: only a host fetch that data-depends on the timed
+    work is a real barrier). A per-leaf device-side sum keeps the fetch to
+    one scalar instead of shipping whole pytrees over the tunnel."""
+    total = jnp.zeros((), jnp.float32)
+    synced = False
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array):
+            total = total + jnp.sum(leaf).astype(jnp.float32)
+            synced = True
+    if synced:
+        float(total)  # the host fetch — returns only after everything ran
 
 
 class PhaseTimer:
-    """Accumulates wall-clock per named phase; blocks on device results so
-    timings reflect real execution, not async dispatch."""
+    """Accumulates wall-clock per named phase; fetches a scalar derived
+    from ``block_on`` so timings reflect real execution, not async
+    dispatch."""
 
     def __init__(self):
         self.totals = defaultdict(float)
@@ -26,12 +46,19 @@ class PhaseTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str, block_on=None):
+        """Time a block. Device outputs created INSIDE the block are
+        registered by appending to the yielded list (they don't exist when
+        the context opens); ``block_on`` still accepts pre-existing values.
+        Both are host-fetched before the clock stops."""
+        outputs: list = []
         t0 = time.perf_counter()
         try:
-            yield
+            yield outputs
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                host_sync(block_on)
+            if outputs:
+                host_sync(outputs)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

@@ -4,7 +4,11 @@
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+# Replace the script dir on sys.path with the repo root: this package
+# mirrors the reference's baselines/random.py name, which would shadow
+# the stdlib `random` module during jax import if the dir stayed first.
+sys.path[0] = os.path.abspath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
 from exploring_meta_tpu.utils.config import RLScriptConfig, rl_argparser
 from exploring_meta_tpu.trainers.baselines import PPOBaseline

@@ -16,9 +16,24 @@ def main():
     p.add_argument("--cl", action="store_true", help="run CL experiment")
     p.add_argument("--rc", action="store_true", help="run rep-change experiment")
     p.add_argument("--n_eval_tasks", type=int, default=None)
+    p.add_argument("--each3", action="store_true",
+                   help="3 trials per distinct task (reference eval_rl.py:33)")
+    p.add_argument("--task", type=str, default=None,
+                   help="explicit ML10 task name to evaluate, e.g. 'door-close' "
+                        "(reference eval_params['n_tasks'] string mode)")
+    p.add_argument("--test_on_train", action="store_true",
+                   help="meta-test on the benchmark's TRAIN tasks "
+                        "(reference eval_rl.py:32)")
+    p.add_argument("--checkpoint", type=int, default=None,
+                   help="evaluate model_checkpoints/model_<N>.npz instead of "
+                        "the final model (reference eval_rl.py:29)")
+    p.add_argument("--workers", type=int, default=None,
+                   help="host-env episode slots (defaults to adapt_batch_size)")
     args = p.parse_args()
     eval_rl.run(args.path, run_cl=args.cl, run_rc=args.rc,
-                n_eval_tasks=args.n_eval_tasks)
+                n_eval_tasks=args.task or args.n_eval_tasks,
+                each3=args.each3, test_on_train=args.test_on_train,
+                checkpoint=args.checkpoint, workers=args.workers)
 
 
 if __name__ == "__main__":

@@ -25,9 +25,35 @@ if os.environ.get("EMT_TEST_TPU") != "1":
 # the TPU-only Pallas kernel tests; run those alone — the tunnel is slow).
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: end-to-end trainer/eval tests (minutes); "
+        "deselect with -m 'not slow' for the quick loop")
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     devs = jax.devices()
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
     return devs[:8]
+
+
+@pytest.fixture
+def fake_metaworld():
+    """Inject tests.fake_metaworld as the `metaworld` package so the
+    Meta-World adapter's task-sampling/set_task/step/horizon-done logic
+    executes without the real (uninstallable here) dependency."""
+    import sys
+    import fake_metaworld as fake  # tests/ is on sys.path (pytest rootdir)
+
+    had = "metaworld" in sys.modules
+    prev = sys.modules.get("metaworld")
+    sys.modules["metaworld"] = fake
+    try:
+        yield fake
+    finally:
+        if had:
+            sys.modules["metaworld"] = prev
+        else:
+            del sys.modules["metaworld"]

@@ -63,3 +63,98 @@ def test_done_freezes_env():
     assert done[0] == 1.0 and suc[0] == 1.0
     obs2, rew2, done2, suc2 = env.step(np.array([[0.1, 0.1]]))
     np.testing.assert_allclose(obs2, obs)  # frozen after done
+
+
+# ---------------------------------------------------------------------------
+# Python-env-backed pool (the REAL host rollout path: MuJoCo / Meta-World
+# stepping dispatched through the C++ thread pool via indexed callbacks)
+# ---------------------------------------------------------------------------
+
+class _CountingEnv:
+    """Deterministic host-protocol env for pool-contract tests."""
+
+    obs_size = 3
+    action_size = 2
+
+    def __init__(self, idx):
+        self.idx = idx
+        self.resets = 0
+        self.t = 0
+
+    def reset(self, seed=None):
+        self.resets += 1
+        self.t = 0
+        return np.full(3, float(self.idx), np.float64)
+
+    def step(self, action):
+        self.t += 1
+        obs = np.array([self.idx, self.t, float(action[0])])
+        reward = float(self.idx * 100 + self.t)
+        done = self.t >= 2
+        return obs, reward, done, False, float(self.idx == 1)
+
+
+def test_python_env_pool_contract():
+    from exploring_meta_tpu.native.binding import PythonEnvPool
+
+    envs = [_CountingEnv(i) for i in range(4)]
+    pool = PythonEnvPool(envs, n_threads=2)
+    obs = pool.reset(seed=None)
+    assert obs.shape == (4, 3)
+    np.testing.assert_allclose(obs[:, 0], np.arange(4))
+
+    acts = np.tile(np.array([[0.5, -0.5]]), (4, 1))
+    obs, rew, done, suc = pool.step(acts)
+    np.testing.assert_allclose(obs[:, 1], 1.0)       # each env stepped once
+    np.testing.assert_allclose(obs[:, 2], 0.5)       # action routed per env
+    np.testing.assert_allclose(rew, np.arange(4) * 100 + 1)
+    np.testing.assert_allclose(suc, [0, 1, 0, 0])
+    np.testing.assert_allclose(done, 0.0)
+    _, _, done, _ = pool.step(acts)
+    np.testing.assert_allclose(done, 1.0)            # per-env done at t=2
+
+
+def test_python_env_pool_propagates_exceptions():
+    from exploring_meta_tpu.native.binding import PythonEnvPool
+
+    class Boom(_CountingEnv):
+        def step(self, action):
+            raise RuntimeError("physics exploded")
+
+    pool = PythonEnvPool([Boom(0)], n_threads=1)
+    pool.reset()
+    with pytest.raises(RuntimeError, match="physics exploded"):
+        pool.step(np.zeros((1, 2)))
+
+
+def test_hostvecenv_native_matches_python_on_mujoco():
+    """HostVecEnv(backend='native') must record bit-equal trajectories to
+    the sequential Python loop on real MuJoCo Ant."""
+    from exploring_meta_tpu.envs.host import (
+        AntDirectionEnv, HostVecEnv, make_host_rollout,
+    )
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    trajs = {}
+    for backend in ("python", "native"):
+        env = HostVecEnv(lambda: AntDirectionEnv(seed=0), 3, backend=backend)
+        assert env.backend == backend
+        policy = DiagNormalPolicy(input_size=env.obs_size,
+                                  output_size=env.action_size)
+        params = policy.init(jax.random.key(0))
+        roll = make_host_rollout(env, policy, horizon=8)
+        task = env.sample_tasks(None, 1)[0]
+        trajs[backend] = roll(params, task, jax.random.key(5))
+    for field in trajs["python"]._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(trajs["python"], field)),
+            np.asarray(getattr(trajs["native"], field)), atol=1e-6,
+            err_msg=field)
+
+
+def test_hostvecenv_native_is_default_on_factory(fake_metaworld):
+    from exploring_meta_tpu.envs.factory import make_env
+
+    env, is_device = make_env("ML10", workers=2, seed=0, max_path_length=4)
+    assert not is_device
+    assert env.backend == "native"  # auto picks the C++ pool when buildable

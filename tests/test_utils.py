@@ -64,6 +64,34 @@ class TestProfiling:
         timer.save(str(tmp_path / "phases.json"))
         assert os.path.exists(tmp_path / "phases.json")
 
+    def test_phase_timer_syncs_inner_outputs(self):
+        """Outputs created inside the block are registered via the yielded
+        list and host-fetched before the clock stops (block_until_ready is
+        a no-op on this runtime — only a fetch is a real barrier)."""
+        timer = PhaseTimer()
+        with timer.phase("work") as sync:
+            y = jnp.ones((200, 200)) @ jnp.ones((200, 200))
+            sync.append(y)
+        assert timer.summary()["work"]["total_s"] > 0
+
+    @pytest.mark.slow
+    def test_profiled_rl_trainer_writes_phase_times(self, tmp_path):
+        from exploring_meta_tpu.trainers.rl import RLTrainer
+        from exploring_meta_tpu.utils.config import RLScriptConfig
+
+        cfg = RLScriptConfig(env="Particles2D-v1", num_iterations=2,
+                             meta_batch_size=2, adapt_batch_size=2,
+                             max_path_length=10, save_every=5,
+                             n_eval_tasks=2, seed=0, profile=True)
+        trainer = RLTrainer(cfg, algo="trpo", path=str(tmp_path) + "/")
+        trainer.run()
+        with open(os.path.join(trainer.model_path,
+                               "phase_times.json")) as f:
+            phases = json.load(f)
+        assert phases["collect"]["count"] == 2
+        assert phases["meta_step"]["count"] == 2
+        assert phases["collect"]["total_s"] > 0
+
 
 class TestExperimentContract:
     def test_run_dir_and_artifacts(self, tmp_path, monkeypatch):
