@@ -1,22 +1,37 @@
-"""Headline benchmark: MAML meta-train throughput (tasks/sec) on TPU.
+"""Headline benchmarks vs faithful torch-CPU reproductions of the reference.
 
-Config (BASELINE.json): Omniglot-shaped 5-way 5-shot CNN4 MAML,
-meta_batch 32, 1 inner step, second-order meta-gradients — the
-``vision/maml_vision.py`` hot path.
+``python bench.py`` (no args) runs the headline config — Omniglot-shaped
+5-way 5-shot CNN4 MAML meta-training, the ``vision/maml_vision.py`` hot
+path — and prints exactly ONE JSON line:
 
-``vs_baseline`` compares against a faithful torch-CPU reproduction of the
-reference's training step (sequential per-task clone -> inner adapt with
-create_graph -> query backward -> grad average -> Adam), measured once on
-this machine and cached in ``.bench_baseline.json``. The torch baseline
-excludes data loading (favors the baseline); the TPU number INCLUDES
-on-device task sampling (end-to-end honest).
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "tasks/sec", "vs_baseline": N}
+``--config`` selects the other BASELINE.json configs (one JSON line per
+invocation):
+
+  maml_omni       MAML Omniglot 5w5s meta-train tasks/sec   (default)
+  anil_min        ANIL Mini-ImageNet 5w5s meta-train tasks/sec
+  trpo_particles  full MAML-TRPO meta-iteration (reference rl/maml_trpo.py
+                  scale: 20 tasks x 20 eps x horizon 100, 2nd-order TRPO
+                  outer step with CG + line search) — iterations/sec
+  host_rollout_ant  MuJoCo Ant host-rollout env steps/sec through the
+                  native C++ env pool vs the sequential Python loop
+
+``vs_baseline`` divides by a torch-CPU (or sequential-Python, for
+host_rollout_ant) reproduction of the reference's computation, measured
+once on this machine and cached per-config in ``.bench_baseline.json``.
+The torch baselines exclude data loading and batch work the reference ran
+sequentially (both favor the baseline); the TPU numbers INCLUDE on-device
+task sampling.
+
+TIMING: the axon remote runtime's ``block_until_ready`` does not
+synchronize — every timed window ends with a host fetch of a scalar that
+transitively depends on all timed work.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -25,6 +40,10 @@ WAYS, SHOTS, META_BATCH, ADAPT_STEPS = 5, 5, 32, 1
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 
+
+# ---------------------------------------------------------------------------
+# torch-CPU reference reproductions (the denominators)
+# ---------------------------------------------------------------------------
 
 def measure_torch_cpu_baseline() -> float:
     """Reference-equivalent torch CPU MAML step; -> tasks/sec."""
@@ -63,7 +82,6 @@ def measure_torch_cpu_baseline() -> float:
 
     def one_iteration():
         opt.zero_grad()
-        names = list(dict(model.named_parameters()).keys())
         for _ in range(META_BATCH):
             xs = torch.tensor(rng.normal(size=(WAYS * SHOTS, 1, 28, 28))
                               .astype(np.float32))
@@ -90,7 +108,236 @@ def measure_torch_cpu_baseline() -> float:
     return META_BATCH * iters / dt
 
 
-def measure_tpu() -> float:
+def measure_torch_cpu_anil_baseline() -> float:
+    """Reference ANIL Mini-ImageNet step (vision/anil_vision.py:86-151):
+    shared ConvBase(64ch, maxpool) encodes once per task, the inner loop
+    adapts only the Linear(1600 -> ways) head with create_graph, outer
+    Adam over body+head. -> tasks/sec."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    blocks = []
+    in_ch = 3
+    for _ in range(4):
+        blocks += [torch.nn.Conv2d(in_ch, 64, 3, stride=1, padding=1),
+                   torch.nn.BatchNorm2d(64, affine=True),
+                   torch.nn.ReLU(),
+                   torch.nn.MaxPool2d(2)]
+        in_ch = 64
+    body = torch.nn.Sequential(*blocks).train()
+    head = torch.nn.Linear(1600, WAYS)
+    opt = torch.optim.Adam(list(body.parameters()) + list(head.parameters()),
+                           lr=3e-3)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    rng = np.random.default_rng(0)
+
+    def one_iteration():
+        opt.zero_grad()
+        for _ in range(META_BATCH):
+            x = torch.tensor(rng.normal(size=(2 * WAYS * SHOTS, 3, 84, 84))
+                             .astype(np.float32))
+            y = torch.tensor(np.repeat(np.arange(WAYS), SHOTS))
+            feats = body(x).flatten(1)  # encode support+query once
+            f_s, f_q = feats[0::2], feats[1::2]
+            params = dict(head.named_parameters())
+            for _ in range(ADAPT_STEPS):
+                loss = loss_fn(torch.func.functional_call(head, params, (f_s,)), y)
+                grads = torch.autograd.grad(loss, list(params.values()),
+                                            create_graph=True)
+                params = {n: p - 0.5 * g
+                          for (n, p), g in zip(params.items(), grads)}
+            q_loss = loss_fn(torch.func.functional_call(head, params, (f_q,)), y)
+            (q_loss / META_BATCH).backward()
+        opt.step()
+
+    one_iteration()
+    t0 = time.perf_counter()
+    iters = 2
+    for _ in range(iters):
+        one_iteration()
+    return META_BATCH * iters / (time.perf_counter() - t0)
+
+
+def measure_torch_cpu_trpo_baseline() -> float:
+    """One full reference MAML-TRPO meta-iteration in torch on CPU
+    (rl/maml_trpo.py:92-134 + core_functions/rl.py:346-473): per task
+    rollout -> GAE w/ fitted linear value -> first-order inner update ->
+    query rollout; then the 2nd-order meta step — surrogate re-deriving
+    every inner update with create_graph, KL, CG(10) on Fisher-vector
+    products, backtracking line search. Env stepping is BATCHED over the
+    20 episodes (the reference steps one env per subprocess round-trip —
+    this baseline is deliberately leaner/faster). -> iterations/sec."""
+    import numpy as np
+    import torch
+
+    TASKS, EPS, H = 20, 20, 100
+    INNER_LR, GAMMA, TAU, MAX_KL, LS_STEPS = 0.05, 0.99, 1.0, 0.01, 15
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    # reference DiagNormalPolicy (policies.py:30-67): 2x100 ReLU mean + logσ
+    mean_net = torch.nn.Sequential(
+        torch.nn.Linear(2, 100), torch.nn.ReLU(),
+        torch.nn.Linear(100, 100), torch.nn.ReLU(),
+        torch.nn.Linear(100, 2))
+    sigma = torch.nn.Parameter(torch.zeros(2))
+    params0 = {**{f"m.{k}": v for k, v in mean_net.named_parameters()},
+               "sigma": sigma}
+
+    def mean_fwd(params, s):
+        sub = {k[2:]: v for k, v in params.items() if k.startswith("m.")}
+        return torch.func.functional_call(mean_net, sub, (s,))
+
+    def log_prob(params, s, a):
+        loc = mean_fwd(params, s)
+        scale = torch.exp(params["sigma"])
+        d = torch.distributions.Normal(loc, scale)
+        return d.log_prob(a).mean(dim=1, keepdim=True)
+
+    rng = np.random.default_rng(0)
+
+    def rollout(params, goal):
+        """Batched-episode Particles2D rollout -> [H,E] numpy arrays."""
+        pos = np.zeros((EPS, 2))
+        S = np.zeros((H, EPS, 2), np.float32)
+        A = np.zeros((H, EPS, 2), np.float32)
+        R = np.zeros((H, EPS), np.float32)
+        D = np.zeros((H, EPS), np.float32)
+        with torch.no_grad():
+            scale = torch.exp(params["sigma"]).numpy()
+        for t in range(H):
+            with torch.no_grad():
+                loc = mean_fwd(params, torch.tensor(pos, dtype=torch.float32))
+            a = loc.numpy() + scale * rng.standard_normal((EPS, 2))
+            S[t], A[t] = pos, a
+            pos = pos + np.clip(a, -0.1, 0.1)
+            dist = np.linalg.norm(pos - goal, axis=1)
+            R[t] = -dist
+            D[t] = (dist < 0.01).astype(np.float32)
+        D[-1] = 1.0
+        return S, A, R, D
+
+    def gae(R, D, values):
+        adv = np.zeros_like(R)
+        last = np.zeros(R.shape[1], np.float32)
+        next_v = np.zeros(R.shape[1], np.float32)
+        for t in range(R.shape[0] - 1, -1, -1):
+            delta = R[t] + GAMMA * next_v * (1 - D[t]) - values[t]
+            last = delta + GAMMA * TAU * (1 - D[t]) * last
+            adv[t] = last
+            next_v = values[t]
+        return adv
+
+    def advantages(S, R, D):
+        # linear value baseline fit on discounted returns (lstsq)
+        ret = np.zeros_like(R)
+        run = np.zeros(R.shape[1], np.float32)
+        for t in range(R.shape[0] - 1, -1, -1):
+            run = R[t] + GAMMA * (1 - D[t]) * run
+            ret[t] = run
+        tgrid = np.tile(np.arange(R.shape[0], dtype=np.float32)[:, None] / 100,
+                        (1, R.shape[1]))
+        feats = np.concatenate(
+            [S, S ** 2, tgrid[..., None], tgrid[..., None] ** 2,
+             tgrid[..., None] ** 3, np.ones_like(tgrid)[..., None]], axis=-1)
+        F = feats.reshape(-1, feats.shape[-1])
+        w = np.linalg.lstsq(F, ret.reshape(-1), rcond=None)[0]
+        values = (F @ w).reshape(R.shape)
+        adv = gae(R, D, values).reshape(-1)
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        return adv.astype(np.float32)
+
+    def a2c_loss(params, S, A, adv):
+        lp = log_prob(params, torch.tensor(S.reshape(-1, 2)),
+                      torch.tensor(A.reshape(-1, 2)))
+        return -(lp.squeeze(1) * torch.tensor(adv)).mean()
+
+    def one_iteration():
+        goals = rng.uniform(-0.5, 0.5, size=(TASKS, 2))
+        replays = []
+        for goal in goals:  # sequential per-task loop, like the reference
+            S, A, R, D = rollout(params0, goal)
+            adv = advantages(S, R, D)
+            loss = a2c_loss(params0, S, A, adv)
+            grads = torch.autograd.grad(loss, list(params0.values()))
+            adapted = {k: p - INNER_LR * g for (k, p), g
+                       in zip(params0.items(), grads)}
+            Sq, Aq, Rq, Dq = rollout(adapted, goal)
+            advq = advantages(Sq, Rq, Dq)
+            replays.append((S, A, adv, Sq, Aq, advq))
+
+        def meta_surrogate(params, create_graph):
+            total, kls = 0.0, 0.0
+            for S, A, adv, Sq, Aq, advq in replays:
+                loss = a2c_loss(params, S, A, adv)
+                grads = torch.autograd.grad(loss, list(params.values()),
+                                            create_graph=create_graph)
+                new = {k: p - INNER_LR * g for (k, p), g
+                       in zip(params.items(), grads)}
+                sq = torch.tensor(Sq.reshape(-1, 2))
+                aq = torch.tensor(Aq.reshape(-1, 2))
+                with torch.no_grad():
+                    old_lp = log_prob(new, sq, aq)
+                new_lp = log_prob(new, sq, aq)
+                ratio = torch.exp(new_lp - old_lp).squeeze(1)
+                total = total - (ratio * torch.tensor(advq)).mean()
+                kls = kls + ((old_lp - new_lp) ** 2).mean()  # KL proxy, same DAG
+            return total / TASKS, kls / TASKS
+
+        loss, kl = meta_surrogate(params0, create_graph=True)
+        flat_grad = torch.cat([g.reshape(-1) for g in torch.autograd.grad(
+            loss, list(params0.values()), create_graph=True, allow_unused=False)])
+        kl_grad = torch.cat([g.reshape(-1) for g in torch.autograd.grad(
+            kl, list(params0.values()), create_graph=True)])
+
+        def Fvp(v):
+            gv = (kl_grad * v).sum()
+            hv = torch.autograd.grad(gv, list(params0.values()),
+                                     retain_graph=True)
+            return torch.cat([h.reshape(-1) for h in hv]) + 1e-5 * v
+
+        x = torch.zeros_like(flat_grad)
+        r = flat_grad.detach().clone()
+        p = r.clone()
+        for _ in range(10):  # CG
+            Ap = Fvp(p).detach()
+            alpha = (r @ r) / (p @ Ap + 1e-10)
+            x = x + alpha * p
+            r_new = r - alpha * Ap
+            beta = (r_new @ r_new) / (r @ r + 1e-10)
+            p = r_new + beta * p
+            r = r_new
+        step = x / torch.sqrt(0.5 * (x @ Fvp(x).detach()) / MAX_KL + 1e-10)
+
+        # backtracking line search re-evaluating the meta surrogate (the
+        # surrogate re-derives inner updates, so candidates need grad)
+        flat_params = torch.cat(
+            [v.reshape(-1) for v in params0.values()]).detach()
+        for i in range(LS_STEPS):
+            cand_flat = (flat_params - (0.5 ** i) * step).detach()
+            cand, off = {}, 0
+            for k, v in params0.items():
+                n = v.numel()
+                cand[k] = cand_flat[off:off + n].reshape(
+                    v.shape).requires_grad_(True)
+                off += n
+            cl, ck = meta_surrogate(cand, create_graph=False)
+            if cl.detach() < loss.detach() and ck.detach() < MAX_KL:
+                break
+
+    t0 = time.perf_counter()
+    one_iteration()
+    return 1.0 / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# TPU measurements
+# ---------------------------------------------------------------------------
+
+def _measure_vision(anil: bool) -> float:
     import jax
     import optax
     from exploring_meta_tpu import adapt, models, tasks
@@ -101,12 +348,17 @@ def measure_tpu() -> float:
     # (scripts/parity_check.py; see BASELINE.md).
     set_precision("default")
 
-    train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
-                                      synthetic_classes=1623)
-    spec = models.omniglot_spec(ways=WAYS)
+    if anil:
+        train, _, _ = tasks.load_mini_imagenet(seed=0, synthetic=True)
+        spec = models.anil_mini_imagenet_spec(ways=WAYS)
+    else:
+        train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                          synthetic_classes=1623)
+        spec = models.omniglot_spec(ways=WAYS)
     params = models.init_cnn4(jax.random.key(0), spec)
     fast_adapt = adapt.make_vision_fast_adapt(
-        spec, inner_lr=0.5, adapt_steps=ADAPT_STEPS, shots=SHOTS, ways=WAYS)
+        spec, inner_lr=0.5, adapt_steps=ADAPT_STEPS, shots=SHOTS, ways=WAYS,
+        anil=anil)
     opt = optax.adam(3e-3)
     step = adapt.make_meta_step(fast_adapt, opt)
     opt_state = opt.init(params)
@@ -125,13 +377,11 @@ def measure_tpu() -> float:
         key, params, opt_state, m = one_iteration(key, params, opt_state)
     float(m["loss"])
 
-    # GROUND-TRUTH timing: the axon remote runtime's block_until_ready
-    # does not actually synchronize, so each window must end with a host
-    # fetch of a scalar that transitively depends on every iteration
-    # (params chain through all steps). Best-of-3 to damp tunnel noise.
+    # GROUND-TRUTH timing: host fetch of a scalar depending on every
+    # iteration (params chain through all steps). Best-of-3 for tunnel noise.
     best = 0.0
     for _ in range(3):
-        iters = 50
+        iters = 50 if not anil else 20  # ANIL mini-imagenet steps are bigger
         t0 = time.perf_counter()
         for _ in range(iters):
             key, params, opt_state, m = one_iteration(key, params, opt_state)
@@ -141,23 +391,164 @@ def measure_tpu() -> float:
     return best
 
 
-def main():
+def measure_tpu() -> float:
+    return _measure_vision(anil=False)
+
+
+def measure_tpu_anil_min() -> float:
+    return _measure_vision(anil=True)
+
+
+def measure_tpu_trpo_particles() -> float:
+    """Full MAML-TRPO meta-iteration at reference scale on device
+    (trainers/rl.py device path: jitted vmapped collect + jitted TRPO
+    outer step). -> iterations/sec (BASELINE.md's 132 ms/iter claim)."""
+    import jax
+    import jax.numpy as jnp
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    TASKS = 20
+    env = Particles2D()
+    policy = DiagNormalPolicy(input_size=2, output_size=2)
+    params = policy.init(jax.random.key(0))
+    rl_cfg = rl.RLConfig(inner_lr=0.05, gamma=0.99, tau=1.0, adapt_steps=1,
+                         adapt_batch_size=20, max_path_length=100)
+    trpo_cfg = rl.TRPOConfig(outer_lr=1.0, max_kl=0.01, ls_max_steps=15,
+                             backtrack_factor=0.5)
+    roll = rl.make_rollout(env, policy.sample, episodes=20, horizon=100)
+    meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg, adapt_steps=1)
+
+    @jax.jit
+    def collect(params, tasks_batch, keys):
+        def per_task(task, k):
+            adapted, loss, replay, m = rl.fast_adapt_trpo(
+                policy, params, roll, task, k, rl_cfg)
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *replay)
+            return adapted, stacked
+        return jax.vmap(per_task)(tasks_batch, keys)
+
+    def one_iteration(params, key):
+        k_t, k_a = jax.random.split(key)
+        tasks_batch = env.sample_tasks(k_t, TASKS)
+        keys = jax.random.split(k_a, TASKS)
+        old_params, replays = collect(params, tasks_batch, keys)
+        params, info = meta_step(params, old_params, replays)
+        return params, info
+
+    key = jax.random.key(1)
+    for _ in range(2):  # compile + settle
+        key, k = jax.random.split(key)
+        params, info = one_iteration(params, k)
+    float(info["old_loss"])
+
+    best = 0.0
+    for _ in range(3):
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            params, info = one_iteration(params, k)
+        float(info["old_loss"])  # ground-truth host fetch
+        best = max(best, iters / (time.perf_counter() - t0))
+    return best
+
+
+def _measure_host_rollout(backend: str) -> float:
+    """MuJoCo Ant host-rollout throughput (env steps/sec) for one
+    HostVecEnv backend; the policy runs on the default jax device."""
+    import jax
+    from exploring_meta_tpu.envs.host import (
+        AntDirectionEnv, HostVecEnv, make_host_rollout,
+    )
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    E, H = 20, 150
+    env = HostVecEnv(lambda: AntDirectionEnv(seed=0), E, backend=backend)
+    policy = DiagNormalPolicy(input_size=env.obs_size,
+                              output_size=env.action_size)
+    params = policy.init(jax.random.key(0))
+    roll = make_host_rollout(env, policy, horizon=H)
+    task = env.sample_tasks(None, 1)[0]
+    traj = roll(params, task, jax.random.key(1))  # warmup + compile
+    float(traj.reward.sum())
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        traj = roll(params, task, jax.random.fold_in(jax.random.key(2), i))
+    float(traj.reward.sum())
+    return E * H * reps / (time.perf_counter() - t0)
+
+
+def measure_host_rollout_native() -> float:
+    return _measure_host_rollout("native")
+
+
+def measure_host_rollout_python() -> float:
+    return _measure_host_rollout("python")
+
+
+# ---------------------------------------------------------------------------
+# registry + main
+# ---------------------------------------------------------------------------
+
+CONFIGS = {
+    "maml_omni": {
+        "metric": "maml_omniglot_5w5s_cnn4_meta_train",
+        "unit": "tasks/sec",
+        "measure": measure_tpu,
+        "baseline": measure_torch_cpu_baseline,
+    },
+    "anil_min": {
+        "metric": "anil_mini_imagenet_5w5s_cnn4_meta_train",
+        "unit": "tasks/sec",
+        "measure": measure_tpu_anil_min,
+        "baseline": measure_torch_cpu_anil_baseline,
+    },
+    "trpo_particles": {
+        "metric": "maml_trpo_particles2d_meta_iteration",
+        "unit": "iterations/sec",
+        "measure": measure_tpu_trpo_particles,
+        "baseline": measure_torch_cpu_trpo_baseline,
+    },
+    "host_rollout_ant": {
+        "metric": "ant_host_rollout_native_pool",
+        "unit": "env_steps/sec",
+        "measure": measure_host_rollout_native,
+        "baseline": measure_host_rollout_python,
+    },
+}
+
+
+def _cached_baseline(name: str, fn) -> float:
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            baseline = json.load(f)["tasks_per_sec"]
-    else:
-        baseline = measure_torch_cpu_baseline()
+            cache = json.load(f)
+        if "tasks_per_sec" in cache:  # migrate round-1 single-config format
+            cache = {"maml_omni": cache["tasks_per_sec"]}
+    if name not in cache:
+        cache[name] = fn()
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"tasks_per_sec": baseline,
-                       "config": "omniglot 5w5s CNN4 MAML mb32, torch CPU"},
-                      f)
+            json.dump(cache, f, indent=2, sort_keys=True)
+    return cache[name]
 
-    tps = measure_tpu()
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", choices=sorted(CONFIGS), default="maml_omni")
+    args = p.parse_args()
+    cfg = CONFIGS[args.config]
+
+    baseline = _cached_baseline(args.config, cfg["baseline"])
+    value = cfg["measure"]()
     print(json.dumps({
-        "metric": "maml_omniglot_5w5s_cnn4_meta_train",
-        "value": round(tps, 2),
-        "unit": "tasks/sec",
-        "vs_baseline": round(tps / baseline, 2),
+        "metric": cfg["metric"],
+        "value": round(value, 2),
+        "unit": cfg["unit"],
+        "vs_baseline": round(value / baseline, 2),
     }))
 
 

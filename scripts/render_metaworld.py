@@ -47,6 +47,7 @@ def main():
     task = env.sample_tasks(None, 1)[0]
     inner.set_task(task)
     frames = []
+    can_render = True  # headless images (no GL stack) degrade gracefully
     for ep in range(args.episodes):
         obs = inner.reset()
         total = 0.0
@@ -56,8 +57,13 @@ def main():
             obs, rew, done, truncated, suc = inner.step(action)
             total += rew
             render = getattr(getattr(inner, "_env", inner), "render", None)
-            if render is not None:
-                frame = render()
+            if can_render and render is not None:
+                try:
+                    frame = render()
+                except Exception as e:
+                    print(f"rendering unavailable ({e}); reporting returns only")
+                    can_render = False
+                    frame = None
                 if args.out is not None and frame is not None:
                     frames.append(np.asarray(frame))
             if done:
