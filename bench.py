@@ -360,32 +360,38 @@ def _measure_vision(anil: bool) -> float:
         spec, inner_lr=0.5, adapt_steps=ADAPT_STEPS, shots=SHOTS, ways=WAYS,
         anil=anil)
     opt = optax.adam(3e-3)
-    step = adapt.make_meta_step(fast_adapt, opt)
     opt_state = opt.init(params)
 
+    # Fused training path (the trainers' --fuse mode): `iters` whole
+    # meta-iterations — on-device sampling included — per XLA program.
+    # Measured +15% over one-dispatch-per-iteration at CNN4/Omniglot scale
+    # and immune to tunnel latency.
+    iters = 50 if not anil else 20  # ANIL mini-imagenet steps are bigger
+
+    def sample_fn(k, images):
+        return tasks.sample_task_batch(k, train._replace(images=images),
+                                       WAYS, SHOTS, META_BATCH)
+
+    train_fn = adapt.make_train_scan(fast_adapt, opt, sample_fn, iters)
     key = jax.random.key(1)
 
-    def one_iteration(key, params, opt_state):
+    def one_window(key, params, opt_state):
         key, k = jax.random.split(key)
-        data, labels = tasks.sample_task_batch(k, train, WAYS, SHOTS,
-                                               META_BATCH)
-        params, opt_state, m = step(params, opt_state, data, labels)
+        params, opt_state, m = train_fn(params, opt_state, k, train.images)
         return key, params, opt_state, m
 
-    # warmup/compile (first call compiles; a few more settle the pipeline)
-    for _ in range(5):
-        key, params, opt_state, m = one_iteration(key, params, opt_state)
-    float(m["loss"])
+    # warmup/compile + pipeline settle
+    for _ in range(2):
+        key, params, opt_state, m = one_window(key, params, opt_state)
+    float(m["loss"][-1])
 
     # GROUND-TRUTH timing: host fetch of a scalar depending on every
     # iteration (params chain through all steps). Best-of-3 for tunnel noise.
     best = 0.0
     for _ in range(3):
-        iters = 50 if not anil else 20  # ANIL mini-imagenet steps are bigger
         t0 = time.perf_counter()
-        for _ in range(iters):
-            key, params, opt_state, m = one_iteration(key, params, opt_state)
-        float(m["loss"])  # forces the full dependency chain to finish
+        key, params, opt_state, m = one_window(key, params, opt_state)
+        float(m["loss"][-1])  # forces the full dependency chain to finish
         dt = time.perf_counter() - t0
         best = max(best, META_BATCH * iters / dt)
     return best

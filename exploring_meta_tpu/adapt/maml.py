@@ -124,26 +124,34 @@ def make_meta_step(fast_adapt: Callable, optimizer: optax.GradientTransformation
 
 def make_train_scan(fast_adapt: Callable,
                     optimizer: optax.GradientTransformation,
-                    sample_fn: Callable, n_steps: int):
+                    sample_fn: Callable, n_steps: int,
+                    eval_sample_fn: Callable | None = None):
     """Fuse ``n_steps`` whole meta-iterations into ONE XLA program.
 
-    The reference pays a full Python round-trip per task per iteration;
-    even the one-program-per-iteration ``make_meta_step`` is dominated by
-    host dispatch at CNN4 scale (device compute ~0.2 ms/iter). With the
-    episodic sampler already on device, a ``lax.scan`` over iterations
-    removes the host from the loop entirely: sample -> vmap'd inner loops
-    -> meta-grad -> optimizer, times ``n_steps``, one dispatch.
+    The reference pays a full Python round-trip per task per iteration.
+    With the episodic sampler already on device, a ``lax.scan`` over
+    iterations removes the host from the loop entirely: sample -> vmap'd
+    inner loops -> meta-grad -> optimizer, times ``n_steps``, one dispatch
+    (measured +15% over the one-program-per-iteration ``make_meta_step``
+    at CNN4/Omniglot scale on one v5e chip — device compute, not dispatch,
+    dominates there; the fused path also hides tunnel latency entirely).
 
     ``sample_fn(key, *data) -> task_batch`` — pass the dataset arrays
     through ``*data`` rather than closing over them: closed-over arrays
     are folded into the HLO as constants, which bloats compilation
     (megabytes of dataset shipped to the compiler).
 
+    ``eval_sample_fn(key, *data) -> task_batch``, if given, additionally
+    runs a no-update meta-eval on each step's POST-update params (the
+    reference's per-iteration valid-task pass,
+    ``vision/maml_vision.py:117-124``), adding ``valid_loss`` /
+    ``valid_metric`` to the metrics.
+
     Returns ``train(params, opt_state, key, *data) -> (params, opt_state,
     metrics)`` with metrics leaves stacked ``[n_steps]``.
     """
 
-    def batch_loss(params, task_batch):
+    def batch_eval(params, task_batch):
         results = jax.vmap(lambda *t: fast_adapt(params, *t))(*task_batch)
         return jnp.mean(results.loss), jnp.mean(results.metric)
 
@@ -151,12 +159,21 @@ def make_train_scan(fast_adapt: Callable,
     def train(params, opt_state, key, *data):
         def one_step(carry, step_key):
             params, opt_state = carry
-            task_batch = sample_fn(step_key, *data)
+            if eval_sample_fn is None:
+                k_tr = step_key
+            else:
+                k_tr, k_va = jax.random.split(step_key)
+            task_batch = sample_fn(k_tr, *data)
             (loss, metric), grads = jax.value_and_grad(
-                batch_loss, has_aux=True)(params, task_batch)
+                batch_eval, has_aux=True)(params, task_batch)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), {"loss": loss, "metric": metric}
+            out = {"loss": loss, "metric": metric}
+            if eval_sample_fn is not None:
+                v_loss, v_metric = batch_eval(
+                    params, eval_sample_fn(k_va, *data))
+                out["valid_loss"], out["valid_metric"] = v_loss, v_metric
+            return (params, opt_state), out
 
         keys = jax.random.split(key, n_steps)
         (params, opt_state), metrics = jax.lax.scan(

@@ -88,38 +88,89 @@ class VisionTrainer(Experiment):
                    initial=start_iteration, total=cfg.num_iterations)
         iteration = start_iteration
         try:
-            for iteration in t:
-                key, k_tr, k_va = jax.random.split(key, 3)
-                with ph("sample") as sync:
-                    data, labels = place(tasks.sample_task_batch(
-                        k_tr, train_ds, cfg.ways, cfg.shots,
-                        cfg.meta_batch_size))
-                    sync.append(data)
-                with ph("meta_step") as sync:
-                    params, opt_state, train_m = meta_step(
-                        params, opt_state, data, labels)
-                    sync.append(train_m)
+            if cfg.fuse > 1 and cfg.mesh == 1:
+                # Fused path: `fuse` whole meta-iterations (train step +
+                # valid eval each) per XLA program — one dispatch per
+                # chunk, identical per-iteration metrics.json contract.
+                # Checkpoints land on chunk-end iterations.
+                def sample_train(k, tr_imgs, va_imgs):
+                    return tasks.sample_task_batch(
+                        k, train_ds._replace(images=tr_imgs), cfg.ways,
+                        cfg.shots, cfg.meta_batch_size)
 
-                with ph("valid_eval") as sync:
-                    v_data, v_labels = tasks.sample_task_batch(
-                        k_va, valid_ds, cfg.ways, cfg.shots,
-                        cfg.meta_batch_size)
-                    valid_m = meta_eval(params, v_data, v_labels)
-                    sync.append(valid_m)
+                def sample_valid(k, tr_imgs, va_imgs):
+                    return tasks.sample_task_batch(
+                        k, valid_ds._replace(images=va_imgs), cfg.ways,
+                        cfg.shots, cfg.meta_batch_size)
 
-                metrics = {
-                    "train_loss": float(train_m["loss"]),
-                    "train_acc": float(train_m["metric"]),
-                    "valid_loss": float(valid_m["loss"]),
-                    "valid_acc": float(valid_m["metric"]),
-                }
-                t.set_postfix(metrics)
-                self.log_metrics(metrics)
+                scans = {}  # chunk length -> compiled program (<=2 entries)
 
-                if iteration % cfg.save_every == 0:
-                    self.save_model_checkpoint(params, iteration,
-                                               opt_state=opt_state,
-                                               rng_key=key)
+                def run_chunk(n, params, opt_state, k):
+                    if n not in scans:
+                        scans[n] = adapt.make_train_scan(
+                            fast_adapt, opt, sample_train, n,
+                            eval_sample_fn=sample_valid)
+                    return scans[n](params, opt_state, k,
+                                    train_ds.images, valid_ds.images)
+
+                it = start_iteration
+                while it < cfg.num_iterations:
+                    n = min(cfg.fuse, cfg.num_iterations - it)
+                    key, k = jax.random.split(key)
+                    with ph("train_chunk") as sync:
+                        params, opt_state, ms = run_chunk(n, params,
+                                                          opt_state, k)
+                        sync.append(ms)
+                    for j in range(n):
+                        self.log_metrics({
+                            "train_loss": float(ms["loss"][j]),
+                            "train_acc": float(ms["metric"][j]),
+                            "valid_loss": float(ms["valid_loss"][j]),
+                            "valid_acc": float(ms["valid_metric"][j]),
+                        })
+                    it += n
+                    iteration = it - 1
+                    t.update(n)
+                    t.set_postfix({
+                        "train_acc": float(ms["metric"][-1]),
+                        "valid_acc": float(ms["valid_metric"][-1])})
+                    if (it // cfg.save_every) > ((it - n) // cfg.save_every):
+                        self.save_model_checkpoint(params, iteration,
+                                                   opt_state=opt_state,
+                                                   rng_key=key)
+            else:
+                for iteration in t:
+                    key, k_tr, k_va = jax.random.split(key, 3)
+                    with ph("sample") as sync:
+                        data, labels = place(tasks.sample_task_batch(
+                            k_tr, train_ds, cfg.ways, cfg.shots,
+                            cfg.meta_batch_size))
+                        sync.append(data)
+                    with ph("meta_step") as sync:
+                        params, opt_state, train_m = meta_step(
+                            params, opt_state, data, labels)
+                        sync.append(train_m)
+
+                    with ph("valid_eval") as sync:
+                        v_data, v_labels = tasks.sample_task_batch(
+                            k_va, valid_ds, cfg.ways, cfg.shots,
+                            cfg.meta_batch_size)
+                        valid_m = meta_eval(params, v_data, v_labels)
+                        sync.append(valid_m)
+
+                    metrics = {
+                        "train_loss": float(train_m["loss"]),
+                        "train_acc": float(train_m["metric"]),
+                        "valid_loss": float(valid_m["loss"]),
+                        "valid_acc": float(valid_m["metric"]),
+                    }
+                    t.set_postfix(metrics)
+                    self.log_metrics(metrics)
+
+                    if iteration % cfg.save_every == 0:
+                        self.save_model_checkpoint(params, iteration,
+                                                   opt_state=opt_state,
+                                                   rng_key=key)
         except KeyboardInterrupt:
             print("\nManually stopped training! Start evaluation & saving...\n")
             self.logger["manually_stopped"] = True

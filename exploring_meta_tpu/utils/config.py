@@ -32,6 +32,7 @@ class VisionConfig:
     use_wandb: bool = False
     resume: str = ""             # checkpoint .npz to resume from (new capability)
     profile: bool = False        # per-phase timing -> phase_times.json
+    fuse: int = 1                # iterations fused per XLA program (lax.scan)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -70,6 +71,9 @@ def vision_argparser(defaults: VisionConfig,
                    help="checkpoint .npz to resume training from")
     p.add_argument("--profile", action="store_true", default=defaults.profile,
                    help="record per-phase device times -> phase_times.json")
+    p.add_argument("--fuse", type=int, default=defaults.fuse,
+                   help="meta-iterations fused into one XLA program "
+                        "(single-device; checkpoints land on chunk ends)")
     return p
 
 

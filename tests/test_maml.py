@@ -298,6 +298,31 @@ class TestTrainScan:
         assert m["loss"].shape == (K,)
 
 
+class TestFusedTrainer:
+    def test_fused_trainer_metrics_and_checkpoints(self, tmp_path,
+                                                   monkeypatch):
+        """--fuse N runs chunked lax.scan programs but must keep the
+        per-iteration metrics.json contract and hit checkpoint boundaries
+        (7 iterations = chunks of 3+3+1 with save_every=5)."""
+        import glob
+        monkeypatch.chdir(tmp_path)
+        from exploring_meta_tpu.trainers import VisionTrainer
+        from exploring_meta_tpu.utils.config import VisionConfig
+
+        cfg = VisionConfig(dataset="omni", num_iterations=7,
+                           meta_batch_size=2, save_every=5, synthetic=True,
+                           fuse=3)
+        t = VisionTrainer(cfg, anil=False)
+        acc = t.run()
+        for key in ("train_loss", "train_acc", "valid_loss", "valid_acc"):
+            assert len(t.metrics[key]) == 7
+        assert 0.0 <= acc <= 1.0
+        ckpts = glob.glob(os.path.join(t.model_path, "model_checkpoints",
+                                       "*.npz"))
+        assert len(ckpts) >= 1  # the it=5 boundary inside chunk [3,6)
+        assert all(np.isfinite(v) for v in t.metrics["train_loss"])
+
+
 class TestResume:
     def test_trainer_resume_continues_iteration_count(self, tmp_path,
                                                       monkeypatch):
