@@ -406,16 +406,16 @@ def measure_tpu_anil_min() -> float:
 
 
 def measure_tpu_trpo_particles() -> float:
-    """Full MAML-TRPO meta-iteration at reference scale on device
-    (trainers/rl.py device path: jitted vmapped collect + jitted TRPO
-    outer step). -> iterations/sec (BASELINE.md's 132 ms/iter claim)."""
+    """Full MAML-TRPO meta-iteration at reference scale on device —
+    the trainers' fused path (rl/train_scan.py): sampling, rollouts,
+    first-order inner adaptation and the second-order CG/line-search
+    outer step, 10 iterations per XLA program. -> iterations/sec."""
     import jax
-    import jax.numpy as jnp
     from exploring_meta_tpu import rl
     from exploring_meta_tpu.envs import Particles2D
     from exploring_meta_tpu.models import DiagNormalPolicy
 
-    TASKS = 20
+    TASKS, ITERS = 20, 10
     env = Particles2D()
     policy = DiagNormalPolicy(input_size=2, output_size=2)
     params = policy.init(jax.random.key(0))
@@ -424,41 +424,22 @@ def measure_tpu_trpo_particles() -> float:
     trpo_cfg = rl.TRPOConfig(outer_lr=1.0, max_kl=0.01, ls_max_steps=15,
                              backtrack_factor=0.5)
     roll = rl.make_rollout(env, policy.sample, episodes=20, horizon=100)
-    meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg, adapt_steps=1)
-
-    @jax.jit
-    def collect(params, tasks_batch, keys):
-        def per_task(task, k):
-            adapted, loss, replay, m = rl.fast_adapt_trpo(
-                policy, params, roll, task, k, rl_cfg)
-            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                             *replay)
-            return adapted, stacked
-        return jax.vmap(per_task)(tasks_batch, keys)
-
-    def one_iteration(params, key):
-        k_t, k_a = jax.random.split(key)
-        tasks_batch = env.sample_tasks(k_t, TASKS)
-        keys = jax.random.split(k_a, TASKS)
-        old_params, replays = collect(params, tasks_batch, keys)
-        params, info = meta_step(params, old_params, replays)
-        return params, info
+    train = rl.make_trpo_train_scan(env, policy, roll, rl_cfg, trpo_cfg,
+                                    TASKS, ITERS)
 
     key = jax.random.key(1)
     for _ in range(2):  # compile + settle
         key, k = jax.random.split(key)
-        params, info = one_iteration(params, k)
-    float(info["old_loss"])
+        params, ms = train(params, k)
+    float(ms["meta_loss"][-1])
 
     best = 0.0
     for _ in range(3):
-        iters = 10
         t0 = time.perf_counter()
-        for _ in range(iters):
-            key, k = jax.random.split(key)
-            params, info = one_iteration(params, k)
-        float(info["old_loss"])  # ground-truth host fetch
-        best = max(best, iters / (time.perf_counter() - t0))
+        key, k = jax.random.split(key)
+        params, ms = train(params, k)
+        float(ms["meta_loss"][-1])  # ground-truth host fetch
+        best = max(best, ITERS / (time.perf_counter() - t0))
     return best
 
 

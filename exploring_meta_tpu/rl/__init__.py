@@ -46,3 +46,10 @@ from exploring_meta_tpu.rl.replay_meta import (
 
 __all__ += ["collect_replays", "make_replay_meta_loss", "recording_rollout",
             "replay_feeder"]
+
+from exploring_meta_tpu.rl.train_scan import (
+    make_adam_train_scan,
+    make_trpo_train_scan,
+)
+
+__all__ += ["make_adam_train_scan", "make_trpo_train_scan"]

@@ -61,6 +61,7 @@ class RLTrainer(Experiment):
         self.algo = algo
         self.anil = anil
         self._timer = PhaseTimer() if cfg.profile else None
+        self._fused_params = None
 
     def _ph(self, name: str):
         """Profiling phase context (no-op list sink when profiling is off)."""
@@ -94,7 +95,11 @@ class RLTrainer(Experiment):
             from exploring_meta_tpu.envs.host import make_host_rollout
             roll = make_host_rollout(env, policy, cfg.max_path_length)
 
-        if self.algo == "trpo":
+        use_fused = (cfg.fuse > 1 and is_device
+                     and getattr(cfg, "mesh", 1) <= 1)
+        if use_fused:
+            step_fn = None
+        elif self.algo == "trpo":
             if is_device:
                 step_fn = self._make_trpo_iteration(env, policy, roll, rl_cfg)
             else:
@@ -110,17 +115,25 @@ class RLTrainer(Experiment):
         iteration = 0
         state = None
         try:
-            for iteration in t:
-                key, k = jax.random.split(key)
-                params, state, metrics = step_fn(params, state, k)
-                t.set_postfix(metrics)
-                self.log_metrics(metrics)
-                if iteration % cfg.save_every == 0:
-                    self.save_model_checkpoint(params, iteration, rng_key=key)
+            if use_fused:
+                iteration = self._fused_device_loop(env, policy, roll,
+                                                    rl_cfg, params, key, t)
+                params = self._fused_params  # final params from the loop
+            else:
+                for iteration in t:
+                    key, k = jax.random.split(key)
+                    params, state, metrics = step_fn(params, state, k)
+                    t.set_postfix(metrics)
+                    self.log_metrics(metrics)
+                    if iteration % cfg.save_every == 0:
+                        self.save_model_checkpoint(params, iteration,
+                                                   rng_key=key)
         except KeyboardInterrupt:
             print("\nManually stopped training! Start evaluation & saving...\n")
             self.logger["manually_stopped"] = True
             self.params["num_iterations"] = iteration
+            if use_fused and self._fused_params is not None:
+                params = self._fused_params
 
         self.save_model(params)
         self.logger["elapsed_time"] = (
@@ -142,6 +155,57 @@ class RLTrainer(Experiment):
                           "eval_success": final["mean_success"]})
         self.save_logs_to_file()
         return final
+
+    # -- fused device training: whole iterations under lax.scan -------------
+
+    def _fused_device_loop(self, env, policy, roll, rl_cfg, params, key, t):
+        """Run num_iterations in chunks of ``cfg.fuse`` fully-fused XLA
+        programs (rl/train_scan.py); logs per-iteration metrics and
+        checkpoints at chunk boundaries. -> last iteration index; final
+        params exposed via ``self._fused_params`` (KeyboardInterrupt-safe:
+        updated after every chunk)."""
+        cfg = self.cfg
+        self._fused_params = params
+        scans: dict = {}  # chunk length -> compiled program (<=2 entries)
+        opt = None if self.algo == "trpo" else optax.adam(cfg.outer_lr)
+        opt_state = None if opt is None else opt.init(params)
+        trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
+                                 ls_max_steps=cfg.ls_max_steps,
+                                 backtrack_factor=cfg.backtrack_factor)
+
+        def run_chunk(n, params, opt_state, k):
+            if n not in scans:
+                if self.algo == "trpo":
+                    scans[n] = rl.make_trpo_train_scan(
+                        env, policy, roll, rl_cfg, trpo_cfg,
+                        cfg.meta_batch_size, n)
+                else:
+                    scans[n] = rl.make_adam_train_scan(
+                        env, policy, roll, rl_cfg, opt, self.algo,
+                        cfg.meta_batch_size, n)
+            if self.algo == "trpo":
+                p, ms = scans[n](params, k)
+                return p, opt_state, ms
+            return scans[n](params, opt_state, k)
+
+        it, iteration = 0, 0
+        while it < cfg.num_iterations:
+            n = min(cfg.fuse, cfg.num_iterations - it)
+            key, k = jax.random.split(key)
+            with self._ph("train_chunk") as sync:
+                params, opt_state, ms = run_chunk(n, params, opt_state, k)
+                sync.append(ms)
+            self._fused_params = params
+            for j in range(n):
+                self.log_metrics({name: float(v[j])
+                                  for name, v in ms.items()})
+            it += n
+            iteration = it - 1
+            t.update(n)
+            t.set_postfix({name: float(v[-1]) for name, v in ms.items()})
+            if (it // cfg.save_every) > ((it - n) // cfg.save_every):
+                self.save_model_checkpoint(params, iteration, rng_key=key)
+        return iteration
 
     # -- TRPO outer step ---------------------------------------------------
 

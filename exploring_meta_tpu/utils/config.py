@@ -107,6 +107,7 @@ class RLScriptConfig:
     use_wandb: bool = False
     mesh: int = 1                # devices for task-DP sharding (TRPO outer step)
     profile: bool = False        # per-phase timing -> phase_times.json
+    fuse: int = 1                # iterations fused per XLA program (device envs)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -144,4 +145,7 @@ def rl_argparser(defaults: RLScriptConfig,
                    default=defaults.use_wandb)
     p.add_argument("--profile", action="store_true", default=defaults.profile,
                    help="record per-phase device times -> phase_times.json")
+    p.add_argument("--fuse", type=int, default=defaults.fuse,
+                   help="meta-iterations fused into one XLA program "
+                        "(device envs, single device)")
     return p
