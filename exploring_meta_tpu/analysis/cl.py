@@ -98,26 +98,61 @@ def run_cl_exp(path, apply_fn: Callable, params, dataset, ways: int,
     return acc_matrix, cl_res
 
 
+def sample_one_from_each_task(env, key, pool: int = 50):
+    """One task per distinct task id (reference ``sample_from_each_task``,
+    cl_rl.py:187-198) — the ML10 CL matrix covers each benchmark task
+    once."""
+    from exploring_meta_tpu.rl.evaluate import sample_3_from_each_task
+    return sample_3_from_each_task(env, key, pool=pool, per_task=1)
+
+
 def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
                   cfg: "rl_mod.RLConfig", key, n_tasks: int = 5,
                   algo: str = "trpo", eval_batch_size: int | None = None,
-                  normalize_rewards: bool = False) -> tuple:
+                  normalize_rewards: bool = False,
+                  one_per_task: bool = False) -> tuple:
     """RL CL experiment -> (rew_matrix, cl_res_rew, cl_res_suc).
 
     Reference ``run_cl_rl_exp`` (cl_rl.py:26-153): per train-task i, adapt
     a fresh copy of the policy (vpg/ppo/trpo inner updates), then roll out
-    the adapted policy on every task j.
+    the adapted policy on every task j. ``one_per_task=True`` builds the
+    matrix over one sample of each distinct task id (Meta-World; the
+    reference's ML10 mode). Host envs additionally record per-step
+    adaptation progress (reward + success per adapt step per task,
+    cl_rl.py:59-91) into ``cl_exp/adapt_progress.json``.
     """
     cl_path = os.path.join(path, "cl_exp")
     os.makedirs(cl_path, exist_ok=True)
 
     key, tk = jax.random.split(key)
-    tasks = env.sample_tasks(tk, n_tasks)
+    if one_per_task:
+        tasks = sample_one_from_each_task(env, tk)
+        n_tasks = len(tasks)
+    else:
+        tasks = env.sample_tasks(tk, n_tasks)
     # Host envs (MuJoCo / Meta-World) return a Python list of task objects
     # and an eager rollout_fn — loop instead of vmapping (the reference is
     # always eager: cl_rl.py:49-124).
     host_env = isinstance(tasks, list)
     maybe_jit = (lambda f: f) if host_env else jax.jit
+
+    rew_progress: dict = {}
+    suc_progress: dict = {}
+
+    def adapt_host(task, k, task_idx):
+        """Per-step adaptation with progress tracking (host path)."""
+        p = params
+        rew_progress[f"task_{task_idx + 1}"] = {}
+        suc_progress[f"task_{task_idx + 1}"] = {}
+        for step in range(cfg.adapt_steps):
+            k, kk = jax.random.split(k)
+            support = rollout_fn(p, task, kk)
+            p = rl_mod.single_adapt_step(algo, policy, p, support, cfg)
+            rew_progress[f"task_{task_idx + 1}"][f"step_{step}"] = float(
+                jnp.sum(support.reward * support.valid) / support.n_episodes)
+            suc_progress[f"task_{task_idx + 1}"][f"step_{step}"] = float(
+                jnp.mean(support.episode_successes()))
+        return p
 
     @maybe_jit
     def adapt_on(task, k):
@@ -154,7 +189,8 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
         key, ka, ke = jax.random.split(key, 3)
         task_i = tasks[i] if host_env else jax.tree_util.tree_map(
             lambda x: x[i], tasks)
-        adapted = adapt_on(task_i, ka)
+        adapted = adapt_host(task_i, ka, i) if host_env else adapt_on(
+            task_i, ka)
         rews, sucs = eval_on_all(adapted, ke)
         rew_matrix[i] = np.asarray(rews)
         suc_matrix[i] = np.asarray(sucs)
@@ -172,4 +208,17 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
         json.dump(cl_res_rew, f, sort_keys=True, indent=4)
     with open(os.path.join(cl_path, "cl_res_suc.json"), "w") as f:
         json.dump(cl_res_suc, f, sort_keys=True, indent=4)
+    with open(os.path.join(cl_path, "cl_params.json"), "w") as f:
+        json.dump({"algo": algo, "n_tasks": n_tasks,
+                   "adapt_steps": cfg.adapt_steps,
+                   "adapt_batch_size": cfg.adapt_batch_size,
+                   "inner_lr": cfg.inner_lr, "gamma": cfg.gamma,
+                   "tau": cfg.tau, "max_path_length": cfg.max_path_length,
+                   "normalize_rewards": normalize_rewards,
+                   "one_per_task": one_per_task}, f, sort_keys=True,
+                  indent=4)
+    if host_env:
+        with open(os.path.join(cl_path, "adapt_progress.json"), "w") as f:
+            json.dump({"reward": rew_progress, "success": suc_progress},
+                      f, sort_keys=True, indent=4)
     return rew_matrix, cl_res_rew, cl_res_suc

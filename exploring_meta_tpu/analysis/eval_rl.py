@@ -110,12 +110,14 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
     if run_cl:
         key, k = jax.random.split(key)
         _, cl_rew, cl_suc = run_cl_rl_exp(base_path, policy, params, env,
-                                          roll, cfg, k, algo=algo)
+                                          roll, cfg, k, algo=algo,
+                                          one_per_task=extra_info)
         out["cl_res_rew"], out["cl_res_suc"] = cl_rew, cl_suc
     if run_rc:
         key, k = jax.random.split(key)
         out["rep_res"] = run_rep_rl_exp(base_path, policy, params, env,
-                                        roll, cfg, k)
+                                        roll, cfg, k, algo=algo,
+                                        eval_each_task=extra_info)
 
     with open(os.path.join(base_path, "eval_results.json"), "w") as f:
         json.dump(out, f, sort_keys=True, indent=4, default=str)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from exploring_meta_tpu.adapt.maml import inner_sgd
+from exploring_meta_tpu.rl.adapt_rl import single_adapt_step
 from exploring_meta_tpu.ops.cca import get_cca_similarity
 from exploring_meta_tpu.ops.cka import get_kernel_CKA, get_linear_CKA
 from exploring_meta_tpu.ops.losses import cross_entropy
@@ -94,41 +95,144 @@ def run_rep_exp(path, apply_fn: Callable, rep_fn: Callable, params, dataset,
     return results
 
 
+def _per_state_similarity(rep_a, rep_b, max_states: int = 50):
+    """Per-STATE similarity between two models' representation vectors:
+    |Pearson correlation| of the two vectors, averaged/stdev'd over
+    states — the reference's ``episode_mean_var``/``calculate_rep_change``
+    (rc_rl.py:246-283), whose per-state "CCA" on a (1, features) matrix
+    reduces to exactly this correlation. Capped at ``max_states`` states
+    (the reference walks every state of every episode; the statistic
+    converges long before that)."""
+    a = np.asarray(rep_a)[:max_states]
+    b = np.asarray(rep_b)[:max_states]
+    sims = []
+    for ra, rb in zip(a, b):
+        ra = ra.reshape(-1).astype(np.float64)
+        rb = rb.reshape(-1).astype(np.float64)
+        ra = ra - ra.mean()
+        rb = rb - rb.mean()
+        denom = np.linalg.norm(ra) * np.linalg.norm(rb)
+        sims.append(abs(float(ra @ rb / denom)) if denom > 0 else 1.0)
+    return float(np.mean(sims)), float(np.std(sims, ddof=1) if len(sims) > 1
+                                       else 0.0)
+
+
 def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
                    key, rep_params: dict | None = None,
-                   compare: tuple = ("cca",)) -> dict:
-    """RL representation-change experiment (reference rc_rl.py:83-221):
-    compare policy-body activations before/after inner-loop adaptation on
-    the task's own query states."""
-    from exploring_meta_tpu import rl as rl_mod
+                   compare: tuple = ("cca",), algo: str = "trpo",
+                   eval_each_task: bool = False) -> dict:
+    """RL representation-change experiment (reference rc_rl.py:83-221).
+
+    Per task: adapt step by step (vpg/ppo/trpo inner updates), tracking
+    - ACROSS STEPS: per-state similarity (mean, stdev) between the INIT
+      and post-step models and between consecutive step models, on the
+      support states (reference ``change_across_steps``);
+    - ACROSS LAYERS: CCA between the init and fully-adapted models per
+      layer on the query states. NOTE the reference's final across-layers
+      comparison clones the adapted model into ``before_adapt_model``
+      first (rc_rl.py:167,170), comparing the adapted model with ITSELF
+      (similarity ~= 1 by construction); we keep the meaningful
+      init-vs-adapted comparison instead.
+    - per-task success rate before/after adaptation;
+    then averages layer changes over tasks (mean, stdev) and writes
+    ``rep_params.json`` + results json + the layer-average errorbar plot
+    (reference ``plot_sim_across_layers_average``, rc_rl.py:374-391).
+
+    ``eval_each_task=True`` evaluates 3 trials of every distinct task id
+    (Meta-World; reference rep_params['eval_each_task']).
+    """
+    from exploring_meta_tpu.rl.evaluate import sample_3_from_each_task
+    from exploring_meta_tpu.utils.plotter import (
+        plot_sim_across_layers_average,
+    )
 
     rep_params = dict(rep_params or {"n_tasks": 5, "layers": [1, 2]})
+    layers = rep_params["layers"]
+    adapt_steps = rep_params.get("adapt_steps", cfg.adapt_steps)
     rep_path = os.path.join(path, "rep_exp")
     os.makedirs(rep_path, exist_ok=True)
 
-    results = {m: {str(l): [] for l in rep_params["layers"]} for m in compare}
+    key, kt = jax.random.split(key)
+    if eval_each_task:
+        tasks = sample_3_from_each_task(env, kt)
+    else:
+        tasks = env.sample_tasks(kt, rep_params["n_tasks"])
+    host_env = isinstance(tasks, list)
+    n_tasks = len(tasks) if host_env else rep_params["n_tasks"]
 
-    for _ in range(rep_params["n_tasks"]):
-        key, kt, ka, kq = jax.random.split(key, 4)
-        task = env.sample_tasks(kt, 1)[0]
-        adapted, _, _, _ = rl_mod.fast_adapt_trpo(policy, params, rollout_fn,
-                                                  task, ka, cfg)
-        query = rollout_fn(adapted, task, kq)
+    results = {m: {str(l): [] for l in layers} for m in compare}
+    across_steps = {"init_mean": [], "init_var": [],
+                    "adapt_mean": [], "adapt_var": []}
+    performance = []
+
+    for i in range(n_tasks):
+        key, ka, kq = jax.random.split(key, 3)
+        task = tasks[i] if host_env else jax.tree_util.tree_map(
+            lambda x: x[i], tasks)
+
+        before = params
+        suc_before = suc_after = 0.0
+        for step in range(adapt_steps):
+            ka, k = jax.random.split(ka)
+            support = rollout_fn(before, task, k)
+            if step == 0:
+                suc_before = float(jnp.mean(support.episode_successes()))
+            after = single_adapt_step(algo, policy, before, support, cfg)
+            suc_after = float(jnp.mean(support.episode_successes()))
+
+            states = np.asarray(support.flat(support.state))
+            rep_init = policy.get_representation(params, states)
+            rep_before = policy.get_representation(before, states)
+            rep_after = policy.get_representation(after, states)
+            im, iv = _per_state_similarity(rep_init, rep_after)
+            am, av = _per_state_similarity(rep_before, rep_after)
+            across_steps["init_mean"].append(im)
+            across_steps["init_var"].append(iv)
+            across_steps["adapt_mean"].append(am)
+            across_steps["adapt_var"].append(av)
+            before = after
+
+        performance.append({"success_before": suc_before,
+                            "success_after": suc_after})
+
+        key, kq = jax.random.split(key)
+        query = rollout_fn(before, task, kq)
         states = query.flat(query.state)
-
         sanity_check(lambda p, x: policy.get_representation(p, x), params,
                      states)
-
-        for layer in rep_params["layers"]:
+        for layer in layers:
             init_rep = policy.get_representation(params, states, layer)
-            adapted_rep = policy.get_representation(adapted, states, layer)
+            adapted_rep = policy.get_representation(before, states, layer)
             sims = _similarities(init_rep, adapted_rep, compare)
             for metric, value in sims.items():
                 results[metric][str(layer)].append(float(value))
 
+    # average layer change over tasks (reference av_layer_changes)
+    av_mean, av_std = {}, {}
+    if "cca" in compare:
+        for layer, values in results["cca"].items():
+            av_mean[layer] = float(np.mean(values))
+            av_std[layer] = float(np.std(values, ddof=1)
+                                  if len(values) > 1 else 0.0)
+        plot_sim_across_layers_average(
+            av_mean, av_std,
+            title="Before / After adaptation",
+            save_path=os.path.join(rep_path, "layer_changes_average.png"))
+
     for metric, per_layer in results.items():
         with open(os.path.join(rep_path, f"{metric}_rl_results.json"), "w") as f:
             json.dump(per_layer, f, sort_keys=True, indent=4)
+    with open(os.path.join(rep_path, "rep_params.json"), "w") as f:
+        json.dump({**rep_params, "algo": algo,
+                   "eval_each_task": eval_each_task}, f, sort_keys=True,
+                  indent=4, default=str)
+    with open(os.path.join(rep_path, "rep_extra.json"), "w") as f:
+        json.dump({"across_steps": across_steps,
+                   "av_layer_changes_mean": av_mean,
+                   "av_layer_changes_std": av_std,
+                   "performance": performance}, f, sort_keys=True, indent=4)
+    results["across_steps"] = across_steps
+    results["av_layer_changes"] = {"mean": av_mean, "std": av_std}
     return results
 
 

@@ -219,6 +219,34 @@ def trpo_a2c_loss(policy, params, traj: Trajectory, cfg: RLConfig,
     return -masked_mean(log_probs * adv, valid)
 
 
+def single_adapt_step(algo: str, policy, params, support: Trajectory,
+                      cfg: RLConfig):
+    """One inner adaptation step on an already-collected support
+    trajectory, switched per algorithm — the reference's analysis-side
+    inner updates (cl_rl.py:70-87, rc_rl.py:140-152: vpg ``adapt`` /
+    ``single_ppo_update`` / ``trpo_update``), first-order."""
+    if algo == "trpo":
+        return trpo_update(policy, params, support, cfg, first_order=True)
+    if algo == "vpg":
+        loss_fn = lambda p: vpg_a2c_loss(policy, p, support, cfg,
+                                         inner_anil=cfg.anil)
+        return _inner_update(policy, params, loss_fn,
+                             cfg._replace(first_order=True))
+    if algo == "ppo":  # ppo_epochs clipped updates on this batch
+        adv, _ = traj_advantages(support, cfg)
+        adv_flat = jax.lax.stop_gradient(masked_normalize(
+            support.flat(adv), support.flat(support.valid)))[:, None]
+        old_lp = jax.lax.stop_gradient(
+            _log_prob(policy, params, support, cfg.anil))
+        for _ in range(cfg.ppo_epochs):
+            loss_fn = lambda p: _ppo_clip_loss(policy, p, support, adv_flat,
+                                               old_lp, cfg, cfg.anil)
+            params = _inner_update(policy, params, loss_fn,
+                                   cfg._replace(first_order=True))
+        return params
+    raise ValueError(f"unknown algo {algo!r}")
+
+
 def trpo_update(policy, params, traj: Trajectory, cfg: RLConfig,
                 first_order: bool | None = None):
     """One TRPO-style inner MAML step (reference ``trpo_update``

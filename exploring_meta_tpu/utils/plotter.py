@@ -100,6 +100,29 @@ def bar_plot_ml10_one_task(rewards_per_task: dict,
     plt.close(fig)
 
 
+def plot_sim_across_layers_average(mean_per_layer: dict,
+                                   std_per_layer: dict, title: str = "",
+                                   save_path: str | None = None) -> None:
+    """Per-layer representation-similarity means with stdev errorbars
+    (reference rc_rl.py:374-391 ``plot_sim_across_layers_average``)."""
+    layers = sorted(mean_per_layer, reverse=True)
+    means = [mean_per_layer[l] for l in layers]
+    errs = [std_per_layer.get(l, 0.0) for l in layers]
+    fig, ax = plt.subplots()
+    x = np.arange(len(layers))
+    ax.plot(x, means, linestyle="-", marker="o", alpha=0.7)
+    ax.errorbar(x, means, yerr=errs, fmt="o")
+    ax.set_title(title)
+    ax.set_xlabel("Layers")
+    ax.set_ylabel("CCA Similarity")
+    ax.set_xticks(x)
+    ax.set_xticklabels([f"L{l}" if str(l) != "-1" else "Head"
+                        for l in layers])
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_list(values, title: str = "", save_path: str | None = None) -> None:
     fig, ax = plt.subplots()
     ax.plot(np.asarray(values, dtype=float))

@@ -184,9 +184,54 @@ def test_ml10_cl_and_rc_host(fake_metaworld, tmp_path):
     assert rew_m.shape == (3, 3) and np.all(np.isfinite(rew_m))
     assert "av_acc" in cl_rew
     assert os.path.exists(tmp_path / "cl_exp" / "cl_rew_matrix.out")
+    assert os.path.exists(tmp_path / "cl_exp" / "cl_params.json")
+    # host envs record per-step adaptation progress (cl_rl.py:59-91)
+    with open(tmp_path / "cl_exp" / "adapt_progress.json") as f:
+        prog = json.load(f)
+    assert set(prog) == {"reward", "success"}
+    assert set(prog["reward"]) == {"task_1", "task_2", "task_3"}
+    assert set(prog["reward"]["task_1"]) == {"step_0"}
+
+    # one_per_task: the ML10 train split has 10 distinct tasks -> 10x10
+    rew_m2, _, _ = run_cl_rl_exp(str(tmp_path), policy, params, env, roll,
+                                 cfg, jax.random.key(3), one_per_task=True)
+    assert rew_m2.shape == (10, 10)
 
     res = run_rep_rl_exp(str(tmp_path), policy, params, env, roll, cfg,
                          jax.random.key(2),
                          rep_params={"n_tasks": 2, "layers": [1, 2]})
     assert set(res["cca"]) == {"1", "2"}
     assert all(len(v) == 2 for v in res["cca"].values())
+    # reference across-steps tracking: one entry per (task, adapt step)
+    assert len(res["across_steps"]["init_mean"]) == 2 * cfg.adapt_steps
+    assert all(0.0 <= v <= 1.0 + 1e-6
+               for v in res["across_steps"]["init_mean"])
+    assert set(res["av_layer_changes"]["mean"]) == {"1", "2"}
+    for art in ("rep_params.json", "rep_extra.json",
+                "layer_changes_average.png"):
+        assert os.path.exists(tmp_path / "rep_exp" / art)
+
+
+@pytest.mark.slow
+def test_ml10_rc_eval_each_task(fake_metaworld, tmp_path):
+    """eval_each_task=True: 3 trials per distinct ML10 test task (the
+    reference rep_params['eval_each_task'] mode, rc_rl.py:106-109)."""
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.analysis.rc import run_rep_rl_exp
+    from exploring_meta_tpu.envs.host import make_host_rollout
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    env, _ = make_env("ML10", workers=2, seed=0, max_path_length=4,
+                      test=True)
+    policy = DiagNormalPolicy(input_size=env.obs_size,
+                              output_size=env.action_size)
+    params = policy.init(jax.random.key(0))
+    cfg = rl.RLConfig(adapt_steps=1, adapt_batch_size=2, max_path_length=4)
+    roll = make_host_rollout(env, policy, horizon=4)
+
+    res = run_rep_rl_exp(str(tmp_path), policy, params, env, roll, cfg,
+                         jax.random.key(1),
+                         rep_params={"n_tasks": 1, "layers": [1]},
+                         eval_each_task=True)
+    # 5 distinct test tasks x 3 trials each
+    assert len(res["cca"]["1"]) == 15
