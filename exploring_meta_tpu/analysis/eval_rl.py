@@ -119,6 +119,31 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
                                         roll, cfg, k, algo=algo,
                                         eval_each_task=extra_info)
 
+        # Representation drift across training checkpoints on probe states
+        # from one rollout (reference rc_rl.py:295-353
+        # measure_change_through_time).
+        import glob
+        import re
+
+        import numpy as np
+
+        from exploring_meta_tpu.analysis.rc import (
+            measure_change_through_time,
+        )
+        ckpt_paths = sorted(
+            glob.glob(os.path.join(base_path, "model_checkpoints",
+                                   "model_*.npz")),
+            key=lambda p: int(re.search(r"model_(\d+)\.npz$", p).group(1)))
+        if len(ckpt_paths) >= 2:
+            key, kt, kr = jax.random.split(key, 3)
+            probe_task = env.sample_tasks(kt, 1)[0]
+            traj = roll(params, probe_task, kr)
+            probe = np.asarray(traj.state).reshape(-1, env.obs_size)[:64]
+            ckpt_params = [load_params(p, template) for p in ckpt_paths]
+            out["cca_through_time"] = measure_change_through_time(
+                base_path, ckpt_params,
+                lambda p, x: policy.get_representation(p, x), probe)
+
     with open(os.path.join(base_path, "eval_results.json"), "w") as f:
         json.dump(out, f, sort_keys=True, indent=4, default=str)
     return out

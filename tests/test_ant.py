@@ -7,6 +7,8 @@ velocity projected onto the task direction, plus Ant-v5's survival bonus
 and minus control/contact costs.
 """
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -102,7 +104,7 @@ def test_ant_anil_ppo_end_to_end(tmp_path):
     from exploring_meta_tpu.trainers.rl import RLTrainer
     from exploring_meta_tpu.utils.config import RLScriptConfig
 
-    cfg = RLScriptConfig(env="AntDirection-v1", num_iterations=1,
+    cfg = RLScriptConfig(env="AntDirection-v1", num_iterations=2,
                          meta_batch_size=2, adapt_batch_size=2,
                          max_path_length=15, adapt_steps=1, save_every=1,
                          n_eval_tasks=2, outer_lr=0.001, inner_lr=0.01,
@@ -112,6 +114,12 @@ def test_ant_anil_ppo_end_to_end(tmp_path):
     assert np.isfinite(final["mean_reward"])
     assert final["rewards_per_task"] == {}  # not a Meta-World env
 
-    out = eval_rl.run(trainer.model_path, n_eval_tasks=2)
+    out = eval_rl.run(trainer.model_path, n_eval_tasks=2, run_rc=True)
     assert np.isfinite(out["eval"]["mean_reward"])
     assert len(out["eval"]["tasks_rewards"]) == 2
+    # RC ran on real MuJoCo + checkpoint drift across the 2 checkpoints
+    assert os.path.exists(os.path.join(trainer.model_path, "rep_exp",
+                                       "cca_rl_results.json"))
+    assert len(out["cca_through_time"]) == 1  # 2 checkpoints -> 1 pair
+    assert os.path.exists(os.path.join(trainer.model_path,
+                                       "cca_through_time.json"))
