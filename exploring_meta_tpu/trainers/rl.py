@@ -266,8 +266,23 @@ class RLTrainer(Experiment):
         trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
                                  ls_max_steps=cfg.ls_max_steps,
                                  backtrack_factor=cfg.backtrack_factor)
-        meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
-                                           adapt_steps=cfg.adapt_steps)
+        if getattr(cfg, "mesh", 1) > 1:
+            # Host rollouts feed a mesh-sharded outer step: replays are
+            # placed task-sharded across chips, the 2nd-order surrogate/
+            # CG/line search runs task-DP with pmean over ICI (the same
+            # path as device envs; parallel/mesh.py).
+            from exploring_meta_tpu import parallel
+            mesh = parallel.make_task_mesh(cfg.mesh)
+            sharded_step = parallel.make_sharded_trpo_meta_step(
+                policy, rl_cfg, trpo_cfg, cfg.adapt_steps, mesh)
+
+            def meta_step(params, old_params, replays):
+                s_old, s_rep = parallel.shard_task_batch(
+                    mesh, (old_params, replays))
+                return sharded_step(params, s_old, s_rep)
+        else:
+            meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
+                                               adapt_steps=cfg.adapt_steps)
 
         def iteration(params, _, key):
             key, tk = jax.random.split(key)

@@ -132,6 +132,54 @@ def plot_list(values, title: str = "", save_path: str | None = None) -> None:
     plt.close(fig)
 
 
+def plot_checkpoint_sweeps(run_dirs: list, save_path: str | None = None,
+                           confidence: float = 0.5,
+                           max_checkpoint: int | None = None) -> dict:
+    """Per-checkpoint test-accuracy curves across seed runs + Student-t
+    confidence band (reference ``misc_scripts/plot_stuff.py:10-74``,
+    consuming each run dir's ``ckpnt_results.json`` as written by
+    eval_vision). -> {"checkpoints", "mean", "halfwidth"}."""
+    from scipy import stats
+
+    all_vals: dict = {}
+    per_run = []
+    for d in run_dirs:
+        with open(os.path.join(d, "ckpnt_results.json")) as f:
+            sweep = {int(k): v for k, v in json.load(f).items()}
+        if max_checkpoint is not None:
+            sweep = {k: v for k, v in sweep.items() if k < max_checkpoint}
+        per_run.append(sweep)
+        for k, v in sweep.items():
+            all_vals.setdefault(k, []).append(v)
+
+    checkpoints = sorted(k for k, v in all_vals.items()
+                         if len(v) == len(run_dirs))
+    data = np.array([[all_vals[k][i] for k in checkpoints]
+                     for i in range(len(run_dirs))])
+    mean = data.mean(axis=0)
+    if len(run_dirs) > 1:
+        sem = stats.sem(data, axis=0)
+        h = sem * stats.t.ppf((1 + confidence) / 2, len(run_dirs) - 1)
+    else:
+        h = np.zeros_like(mean)
+
+    fig, ax = plt.subplots()
+    for i, sweep in enumerate(per_run):
+        xs = sorted(sweep)
+        ax.plot(xs, [sweep[x] for x in xs], "-o", alpha=0.5,
+                label=f"seed_{i + 1}")
+    ax.plot(checkpoints, mean, color="black")
+    ax.fill_between(checkpoints, mean - h, mean + h, alpha=0.3)
+    ax.set_xlabel("Checkpoints")
+    ax.set_ylabel("Test Accuracy")
+    ax.legend()
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return {"checkpoints": checkpoints, "mean": mean.tolist(),
+            "halfwidth": np.asarray(h).tolist()}
+
+
 def plot_runs_with_confidence(run_dirs: list, metric: str = "train_acc",
                               save_path: str | None = None,
                               confidence: float = 0.95) -> dict:

@@ -162,6 +162,24 @@ def test_ml10_train_and_eval_end_to_end(fake_metaworld, tmp_path):
 
 
 @pytest.mark.slow
+def test_ml10_trpo_mesh_sharded_outer_step(fake_metaworld, tmp_path,
+                                           eight_devices):
+    """Host-env (fake ML10) rollouts feeding the mesh-sharded TRPO outer
+    step: --mesh 4 on the 8-virtual-device CPU backend."""
+    from exploring_meta_tpu.trainers.rl import RLTrainer
+    from exploring_meta_tpu.utils.config import RLScriptConfig
+
+    cfg = RLScriptConfig(env="ML10", num_iterations=2, meta_batch_size=4,
+                         adapt_batch_size=2, max_path_length=5,
+                         adapt_steps=1, save_every=5, n_eval_tasks=2,
+                         seed=42, mesh=4)
+    trainer = RLTrainer(cfg, algo="trpo", path=str(tmp_path) + "/")
+    final = trainer.run()
+    assert np.isfinite(final["mean_reward"])
+    assert len(trainer.metrics["meta_loss"]) == 2
+
+
+@pytest.mark.slow
 def test_ml10_cl_and_rc_host(fake_metaworld, tmp_path):
     """Host-env CL + RC experiments drive the eager branches end-to-end
     (reference cl_rl.py / rc_rl.py run on ML10)."""

@@ -50,6 +50,23 @@ class TestPlotter:
         assert os.path.exists(tmp_path / "conf.png")
 
 
+class TestCheckpointSweepPlot:
+    def test_sweeps_and_confidence(self, tmp_path):
+        for i in range(3):
+            d = tmp_path / f"run{i}"
+            d.mkdir()
+            with open(d / "ckpnt_results.json", "w") as f:
+                json.dump({"0": 0.5 + 0.01 * i, "100": 0.8 + 0.01 * i,
+                           "200": 0.9, "99999": 0.95}, f)
+        res = plotter.plot_checkpoint_sweeps(
+            [str(tmp_path / f"run{i}") for i in range(3)],
+            save_path=str(tmp_path / "sweeps.png"), max_checkpoint=20000)
+        assert res["checkpoints"] == [0, 100, 200]
+        assert res["mean"][1] == pytest.approx(0.81)
+        assert res["halfwidth"][2] == pytest.approx(0.0)
+        assert os.path.exists(tmp_path / "sweeps.png")
+
+
 class TestProfiling:
     def test_phase_timer(self, tmp_path):
         timer = PhaseTimer()
