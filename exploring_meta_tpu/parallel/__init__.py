@@ -3,9 +3,11 @@
 from exploring_meta_tpu.parallel.mesh import (
     make_task_mesh,
     make_sharded_meta_step,
+    make_sharded_train_scan,
     make_sharded_trpo_meta_step,
     shard_task_batch,
 )
 
 __all__ = ["make_task_mesh", "make_sharded_meta_step",
-           "make_sharded_trpo_meta_step", "shard_task_batch"]
+           "make_sharded_train_scan", "make_sharded_trpo_meta_step",
+           "shard_task_batch"]

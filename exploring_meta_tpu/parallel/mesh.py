@@ -76,6 +76,85 @@ def make_sharded_meta_step(fast_adapt: Callable,
     return jax.jit(sharded)
 
 
+def make_sharded_train_scan(fast_adapt: Callable,
+                            optimizer: optax.GradientTransformation,
+                            sample_local: Callable, n_steps: int,
+                            mesh: Mesh, axis: str = "tasks",
+                            eval_sample_local: Callable | None = None):
+    """Multi-chip AND multi-iteration fusion: ``n_steps`` whole sharded
+    meta-iterations in ONE XLA program.
+
+    Each chip samples its own shard of the meta-batch on device
+    (``sample_local(key, *data) -> local task batch``, with the step key
+    folded by mesh position so shards draw disjoint tasks), runs its
+    inner loops under ``vmap``, and the outer gradient is ``pmean``-reduced
+    over ICI — then ``lax.scan`` repeats the whole thing with zero host
+    involvement. Params/opt-state stay replicated; ``*data`` (the packed
+    dataset) is replicated too.
+
+    Equivalent to per-iteration :func:`make_sharded_meta_step` on the
+    concatenation of the shards' samples (equal shard sizes make the
+    pmean-of-local-means the global mean); see
+    tests/test_mesh.py::test_sharded_train_scan_equals_global_step.
+
+    Returns ``train(params, opt_state, key, *data) -> (params, opt_state,
+    metrics)`` with metrics leaves stacked ``[n_steps]``.
+    """
+    n_shards = mesh.shape[axis]
+    del n_shards  # shard count is implicit in pmean; kept for clarity
+
+    def local_step(params, opt_state, step_key, *data):
+        shard_idx = jax.lax.axis_index(axis)
+        if eval_sample_local is None:
+            k_tr = step_key
+        else:
+            k_tr, k_va = jax.random.split(step_key)
+        shard_key = jax.random.fold_in(k_tr, shard_idx)
+        task_batch = sample_local(shard_key, *data)
+
+        def batch_loss(p, *tb):
+            results = jax.vmap(lambda *t: fast_adapt(p, *t))(*tb)
+            return jnp.mean(results.loss), jnp.mean(results.metric)
+
+        (loss, metric), grads = jax.value_and_grad(
+            batch_loss, has_aux=True)(params, *task_batch)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        metric = jax.lax.pmean(metric, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        out = {"loss": loss, "metric": metric}
+        if eval_sample_local is not None:
+            vb = eval_sample_local(jax.random.fold_in(k_va, shard_idx),
+                                   *data)
+            v_loss, v_metric = batch_loss(params, *vb)
+            out["valid_loss"] = jax.lax.pmean(v_loss, axis)
+            out["valid_metric"] = jax.lax.pmean(v_metric, axis)
+        return params, opt_state, out
+
+    @jax.jit
+    def train(params, opt_state, key, *data):
+        sharded = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), P()) + (P(),) * len(data),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+
+        def one_step(carry, step_key):
+            params, opt_state = carry
+            params, opt_state, m = sharded(params, opt_state, step_key,
+                                           *data)
+            return (params, opt_state), m
+
+        keys = jax.random.split(key, n_steps)
+        (params, opt_state), metrics = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, metrics
+
+    return train
+
+
 def shard_task_batch(mesh: Mesh, task_batch, axis: str = "tasks"):
     """Place a host task batch with its leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis))

@@ -88,28 +88,41 @@ class VisionTrainer(Experiment):
                    initial=start_iteration, total=cfg.num_iterations)
         iteration = start_iteration
         try:
-            if cfg.fuse > 1 and cfg.mesh == 1:
+            if cfg.fuse > 1:
                 # Fused path: `fuse` whole meta-iterations (train step +
                 # valid eval each) per XLA program — one dispatch per
                 # chunk, identical per-iteration metrics.json contract.
-                # Checkpoints land on chunk-end iterations.
+                # Checkpoints land on chunk-end iterations. With --mesh N
+                # each chip samples + trains its shard of the meta-batch
+                # (pmean over ICI) inside the same fused program.
+                mb = cfg.meta_batch_size
+                if cfg.mesh > 1:
+                    assert mb % cfg.mesh == 0, "meta_batch_size % mesh != 0"
+                    mb = mb // cfg.mesh  # per-shard batch
+
                 def sample_train(k, tr_imgs, va_imgs):
                     return tasks.sample_task_batch(
                         k, train_ds._replace(images=tr_imgs), cfg.ways,
-                        cfg.shots, cfg.meta_batch_size)
+                        cfg.shots, mb)
 
                 def sample_valid(k, tr_imgs, va_imgs):
                     return tasks.sample_task_batch(
                         k, valid_ds._replace(images=va_imgs), cfg.ways,
-                        cfg.shots, cfg.meta_batch_size)
+                        cfg.shots, mb)
 
                 scans = {}  # chunk length -> compiled program (<=2 entries)
 
                 def run_chunk(n, params, opt_state, k):
                     if n not in scans:
-                        scans[n] = adapt.make_train_scan(
-                            fast_adapt, opt, sample_train, n,
-                            eval_sample_fn=sample_valid)
+                        if cfg.mesh > 1:
+                            scans[n] = parallel.make_sharded_train_scan(
+                                fast_adapt, opt, sample_train, n,
+                                parallel.make_task_mesh(cfg.mesh),
+                                eval_sample_local=sample_valid)
+                        else:
+                            scans[n] = adapt.make_train_scan(
+                                fast_adapt, opt, sample_train, n,
+                                eval_sample_fn=sample_valid)
                     return scans[n](params, opt_state, k,
                                     train_ds.images, valid_ds.images)
 

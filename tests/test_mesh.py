@@ -105,3 +105,65 @@ def test_sharded_trpo_meta_matches_single_device(eight_devices):
                     jax.tree_util.tree_leaves(sh_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=3e-3)
+
+
+def test_sharded_train_scan_equals_global_step(eight_devices):
+    """One step of the fused sharded trainer == the plain global meta_step
+    on the concatenation of the per-shard samples (pmean of equal-size
+    local means is the global mean)."""
+    from exploring_meta_tpu.tasks.sampler import sample_task
+
+    train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                      synthetic_classes=20)
+    spec = models.omniglot_spec(ways=5, hidden=8, layers=2)
+    params = models.init_cnn4(jax.random.key(0), spec)
+    fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.4, adapt_steps=1,
+                                      shots=1, ways=5)
+    opt = optax.sgd(0.1)
+    mesh = parallel.make_task_mesh(4)
+    LOCAL_MB = 2
+
+    def sample_local(key, images):
+        keys = jax.random.split(key, LOCAL_MB)
+        return jax.vmap(lambda k: sample_task(
+            k, images, 5, 1, train.invert, train.rotations))(keys)
+
+    trainer = parallel.make_sharded_train_scan(fa, opt, sample_local,
+                                               n_steps=1, mesh=mesh)
+    p_sh, _, m_sh = trainer(params, opt.init(params), jax.random.key(7),
+                            train.images)
+    assert m_sh["loss"].shape == (1,)
+
+    # reproduce the same global batch: the scan splits key(7) into 1 step
+    # key, each shard folds in its mesh index
+    step_key = jax.random.split(jax.random.key(7), 1)[0]
+    batches = [sample_local(jax.random.fold_in(step_key, i), train.images)
+               for i in range(4)]
+    data = jnp.concatenate([b[0] for b in batches])
+    labels = jnp.concatenate([b[1] for b in batches])
+    ref_step = adapt.make_meta_step(fa, opt)
+    p_ref, _, m_ref = ref_step(params, opt.init(params), data, labels)
+
+    assert float(m_ref["loss"]) == pytest.approx(float(m_sh["loss"][0]),
+                                                 rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_vision_trainer_mesh_plus_fuse(tmp_path, monkeypatch,
+                                       eight_devices):
+    """--mesh 4 --fuse 2: multi-chip sharded iterations fused under scan,
+    metrics contract preserved."""
+    monkeypatch.chdir(tmp_path)
+    from exploring_meta_tpu.trainers import VisionTrainer
+    from exploring_meta_tpu.utils.config import VisionConfig
+
+    cfg = VisionConfig(dataset="omni", num_iterations=4, meta_batch_size=8,
+                       save_every=3, synthetic=True, mesh=4, fuse=2)
+    t = VisionTrainer(cfg, anil=False)
+    acc = t.run()
+    for key in ("train_loss", "train_acc", "valid_loss", "valid_acc"):
+        assert len(t.metrics[key]) == 4
+    assert 0.0 <= acc <= 1.0
