@@ -16,6 +16,10 @@ invocation):
                   outer step with CG + line search) — iterations/sec
   host_rollout_ant  MuJoCo Ant host-rollout env steps/sec through the
                   native C++ env pool vs the sequential Python loop
+  host_collect_ant_batched  full Ant meta-batch collection (support +
+                  on-device inner updates + query, all tasks) with
+                  --task_batch lockstep collection vs the per-task
+                  sequential loop
 
 ``vs_baseline`` divides by a torch-CPU (or sequential-Python, for
 host_rollout_ant) reproduction of the reference's computation, measured
@@ -477,6 +481,69 @@ def measure_host_rollout_python() -> float:
     return _measure_host_rollout("python")
 
 
+def _measure_host_collect(task_batched: bool) -> float:
+    """Full meta-batch collection pass on MuJoCo Ant (support rollouts +
+    on-device inner updates + query rollouts for every task) -> env
+    steps/sec. ``task_batched`` steps ALL tasks' episodes per policy
+    round-trip (--task_batch); otherwise tasks collect sequentially
+    (the reference's execution model, rl/maml_ppo.py:102-113)."""
+    import jax
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.envs.host import (
+        AntDirectionEnv, HostVecEnv, make_grouped_host_rollout,
+        make_host_rollout,
+    )
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    TASKS, EPS, H = 5, 4, 50
+    cfg = rl.RLConfig(inner_lr=0.01, adapt_steps=1, adapt_batch_size=EPS,
+                      max_path_length=H, ppo_epochs=1)
+    steps_per_pass = TASKS * EPS * H * (cfg.adapt_steps + 1)
+
+    if task_batched:
+        env = HostVecEnv(lambda: AntDirectionEnv(seed=0), TASKS * EPS)
+        policy = DiagNormalPolicy(input_size=env.obs_size,
+                                  output_size=env.action_size)
+        params = policy.init(jax.random.key(0))
+        roll = make_grouped_host_rollout(env, policy, H, TASKS, EPS)
+
+        def one_pass(key):
+            tasks = env.sample_tasks(None, TASKS)
+            _, replays, _ = rl.collect_task_batched("ppo", policy, params,
+                                                    roll, tasks, key, cfg)
+            return replays
+    else:
+        env = HostVecEnv(lambda: AntDirectionEnv(seed=0), EPS)
+        policy = DiagNormalPolicy(input_size=env.obs_size,
+                                  output_size=env.action_size)
+        params = policy.init(jax.random.key(0))
+        roll = make_host_rollout(env, policy, H)
+
+        def one_pass(key):
+            tasks = env.sample_tasks(None, TASKS)
+            reps = []
+            for i in range(TASKS):
+                k = jax.random.fold_in(key, i)
+                stacked, _ = rl.collect_replays("ppo", policy, params, roll,
+                                                tasks[i], k, cfg)
+                reps.append(stacked)
+            return reps
+
+    one_pass(jax.random.key(1))  # warmup + compile
+    t0 = time.perf_counter()
+    replays = one_pass(jax.random.key(2))
+    float(jax.tree_util.tree_leaves(replays)[0].sum())  # ground-truth fetch
+    return steps_per_pass / (time.perf_counter() - t0)
+
+
+def measure_host_collect_batched() -> float:
+    return _measure_host_collect(task_batched=True)
+
+
+def measure_host_collect_sequential() -> float:
+    return _measure_host_collect(task_batched=False)
+
+
 # ---------------------------------------------------------------------------
 # registry + main
 # ---------------------------------------------------------------------------
@@ -505,6 +572,12 @@ CONFIGS = {
         "unit": "env_steps/sec",
         "measure": measure_host_rollout_native,
         "baseline": measure_host_rollout_python,
+    },
+    "host_collect_ant_batched": {
+        "metric": "ant_meta_collection_task_batched",
+        "unit": "env_steps/sec",
+        "measure": measure_host_collect_batched,
+        "baseline": measure_host_collect_sequential,
     },
 }
 

@@ -127,6 +127,16 @@ class HostVecEnv:
         for e in self.envs:
             e.set_task(task)
 
+    def set_tasks(self, tasks, group_size: int) -> None:
+        """Assign task ``i`` to env slots ``[i*group_size, (i+1)*group_size)``
+        — the slot layout of task-batched collection
+        (:func:`make_grouped_host_rollout`)."""
+        if len(tasks) * group_size != self.n_envs:
+            raise ValueError(f"{len(tasks)} tasks x group {group_size} != "
+                             f"{self.n_envs} env slots")
+        for i, e in enumerate(self.envs):
+            e.set_task(tasks[i // group_size])
+
     def collect(self, action_fn: Callable, key, horizon: int,
                 seed: int | None = None) -> Trajectory:
         """Roll all E envs for ``horizon`` steps.
@@ -191,6 +201,51 @@ class HostVecEnv:
             next_state=jnp.asarray(next_states),
             success=jnp.asarray(successes), valid=jnp.asarray(valids),
             timestep=jnp.asarray(timesteps))
+
+
+def make_grouped_host_rollout(vec_env: HostVecEnv, policy, horizon: int,
+                              n_tasks: int, episodes: int):
+    """Task-batched host rollout: ALL tasks' episodes step in lockstep
+    through one vec env of ``n_tasks * episodes`` slots, so each policy
+    round-trip (host -> device -> host) serves the whole meta-batch —
+    ``n_tasks``x fewer device crossings than per-task collection, and the
+    full slot batch fans across the native thread pool at once.
+
+    This is the TPU-native answer to the reference's per-task sequential
+    ``Runner`` loop over an ``AsyncVectorEnv`` (rl/maml_trpo.py:102-122 +
+    core_functions/runner.py:105,127): instead of parallelizing only
+    within a task's episodes, the host batch spans the task axis too.
+
+    Returns ``roll(params_stack, tasks, key) -> Trajectory`` with leading
+    ``[n_tasks, T, episodes, ...]`` axes; ``params_stack`` has a leading
+    ``[n_tasks]`` axis (per-task adapted policies — broadcast the shared
+    init for the first support rollout).
+    """
+    if vec_env.n_envs != n_tasks * episodes:
+        raise ValueError(f"vec env has {vec_env.n_envs} slots, need "
+                         f"{n_tasks} tasks x {episodes} episodes")
+
+    @jax.jit
+    def action_fn(params_stack, key, obs_flat):
+        obs = obs_flat.reshape(n_tasks, episodes, obs_flat.shape[-1])
+        keys = jax.random.split(key, n_tasks)
+        acts = jax.vmap(policy.sample)(params_stack, keys, obs)
+        return acts.reshape(n_tasks * episodes, acts.shape[-1])
+
+    def roll(params_stack, tasks, key):
+        if not isinstance(tasks, (list, tuple)):
+            tasks = list(np.asarray(tasks))
+        vec_env.set_tasks(tasks, episodes)
+        traj = vec_env.collect(
+            lambda k, o: action_fn(params_stack, k, o), key, horizon)
+
+        def regroup(x):  # [T, n_tasks*episodes, ...] -> [n_tasks, T, episodes, ...]
+            x = x.reshape((x.shape[0], n_tasks, episodes) + x.shape[2:])
+            return jnp.moveaxis(x, 1, 0)
+
+        return jax.tree_util.tree_map(regroup, traj)
+
+    return roll
 
 
 def make_host_rollout(vec_env: HostVecEnv, policy, horizon: int):

@@ -162,20 +162,15 @@ def shard_task_batch(mesh: Mesh, task_batch, axis: str = "tasks"):
         lambda x: jax.device_put(x, sharding), task_batch)
 
 
-def make_sharded_trpo_meta_step(policy, cfg, trpo_cfg, adapt_steps: int,
-                                mesh: Mesh, axis: str = "tasks"):
-    """Task-DP TRPO meta-optimization over the mesh.
-
-    Each device re-derives the second-order surrogate for its shard of the
-    replay buffer; surrogate/KL means are ``pmean``-reduced over ICI (their
-    gradients get the matching ``psum`` automatically under AD), so the
-    conjugate-gradient solve and backtracking line search run replicated on
-    every chip with bitwise-identical global values — the distributed form
-    of reference ``meta_optimize_trpo`` (rl.py:409-438).
-
-    ``(params, old_params_stack, replays) -> (params, info)`` with the
-    task-stacked inputs sharded on their leading axis, params replicated.
-    """
+def _make_local_trpo_outer(policy, cfg, trpo_cfg, adapt_steps: int,
+                           axis: str):
+    """Per-shard body of the distributed TRPO outer step (must run inside
+    ``shard_map`` over ``axis``): re-derives the second-order surrogate on
+    the local replay shard, ``pmean``-reduces every cross-device quantity,
+    and runs the CG solve + backtracking line search replicated on every
+    chip with identical global values. Shared by
+    :func:`make_sharded_trpo_meta_step` (per-iteration) and
+    :func:`make_sharded_trpo_train_scan` (fused iterations)."""
     import jax.numpy as jnp
     from jax.flatten_util import ravel_pytree
     from exploring_meta_tpu.ops.cg import conjugate_gradient
@@ -230,6 +225,20 @@ def make_sharded_trpo_meta_step(policy, cfg, trpo_cfg, adapt_steps: int,
                          flat0))
         return unravel(final), {"old_loss": old_loss, "accepted": accepted}
 
+    return local_step
+
+
+def make_sharded_trpo_meta_step(policy, cfg, trpo_cfg, adapt_steps: int,
+                                mesh: Mesh, axis: str = "tasks"):
+    """Task-DP TRPO meta-optimization over the mesh — the distributed form
+    of reference ``meta_optimize_trpo`` (rl.py:409-438); see
+    :func:`_make_local_trpo_outer` for the collective structure.
+
+    ``(params, old_params_stack, replays) -> (params, info)`` with the
+    task-stacked inputs sharded on their leading axis, params replicated.
+    """
+    local_step = _make_local_trpo_outer(policy, cfg, trpo_cfg, adapt_steps,
+                                        axis)
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
@@ -237,3 +246,130 @@ def make_sharded_trpo_meta_step(policy, cfg, trpo_cfg, adapt_steps: int,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_trpo_train_scan(env, policy, rollout_fn, cfg, trpo_cfg,
+                                 meta_batch_size: int, n_steps: int,
+                                 mesh: Mesh, axis: str = "tasks"):
+    """Multi-chip AND multi-iteration meta-RL fusion for device envs:
+    ``n_steps`` whole MAML-TRPO iterations in ONE XLA program, with the
+    task axis sharded over the mesh.
+
+    Per iteration, each chip samples ``meta_batch / n_devices`` tasks on
+    device (step key folded by mesh position so shards draw disjoint
+    tasks), runs its vmapped first-order rollouts + inner adaptation, then
+    the second-order CG/line-search outer step runs task-DP with ``pmean``
+    over ICI (:func:`_make_local_trpo_outer`) — the sharded form of
+    ``rl.make_trpo_train_scan`` and the end state of the reference's
+    sequential task loop + subprocess env stepping (rl/maml_trpo.py:92-134).
+
+    Returns ``train(params, key) -> (params, metrics)`` with metrics leaves
+    stacked ``[n_steps]``; metric values are global (pmean'd) means.
+    """
+    from exploring_meta_tpu.rl.adapt_rl import fast_adapt_trpo
+
+    n_shards = mesh.shape[axis]
+    if meta_batch_size % n_shards != 0:
+        raise ValueError(f"meta_batch_size={meta_batch_size} not divisible "
+                         f"by mesh size {n_shards}")
+    local_mb = meta_batch_size // n_shards
+    local_outer = _make_local_trpo_outer(policy, cfg, trpo_cfg,
+                                         cfg.adapt_steps, axis)
+
+    def local_iteration(params, step_key):
+        shard_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis))
+        k_tasks, k_adapt = jax.random.split(shard_key)
+        tasks_batch = env.sample_tasks(k_tasks, local_mb)
+        keys = jax.random.split(k_adapt, local_mb)
+
+        def per_task(task, k):
+            adapted, _, replay, m = fast_adapt_trpo(policy, params,
+                                                    rollout_fn, task, k, cfg)
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *replay)
+            return adapted, stacked, m
+
+        old_params, replays, ms = jax.vmap(per_task)(tasks_batch, keys)
+        params, info = local_outer(params, old_params, replays)
+        return params, {
+            "adapt_reward": jax.lax.pmean(jnp.mean(ms["reward"]), axis),
+            "adapt_success": jax.lax.pmean(jnp.mean(ms["success"]), axis),
+            "meta_loss": info["old_loss"],  # already pmean'd in the outer
+            "ls_accepted": info["accepted"].astype(jnp.float32),
+        }
+
+    @jax.jit
+    def train(params, key):
+        sharded = shard_map(
+            local_iteration, mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        keys = jax.random.split(key, n_steps)
+        return jax.lax.scan(sharded, params, keys)
+
+    return train
+
+
+def make_sharded_adam_train_scan(env, policy, rollout_fn, cfg, optimizer,
+                                 algo: str, meta_batch_size: int,
+                                 n_steps: int, mesh: Mesh,
+                                 axis: str = "tasks"):
+    """Sharded + fused PPO/VPG meta-training for device envs: the Adam
+    analog of :func:`make_sharded_trpo_train_scan` (reference
+    ``rl/maml_ppo.py:128-130`` — Adam through the differentiable query
+    losses). Outer gradients are ``pmean``-reduced over ICI; params and
+    opt-state stay replicated.
+
+    Returns ``train(params, opt_state, key) -> (params, opt_state,
+    metrics)`` with metrics leaves stacked ``[n_steps]``.
+    """
+    from exploring_meta_tpu.rl.adapt_rl import fast_adapt_ppo, fast_adapt_vpg
+
+    fast_adapt = {"ppo": fast_adapt_ppo, "vpg": fast_adapt_vpg}[algo]
+    n_shards = mesh.shape[axis]
+    if meta_batch_size % n_shards != 0:
+        raise ValueError(f"meta_batch_size={meta_batch_size} not divisible "
+                         f"by mesh size {n_shards}")
+    local_mb = meta_batch_size // n_shards
+
+    def local_iteration(carry, step_key):
+        params, opt_state = carry
+        shard_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis))
+        k_tasks, k_adapt = jax.random.split(shard_key)
+        tasks_batch = env.sample_tasks(k_tasks, local_mb)
+        keys = jax.random.split(k_adapt, local_mb)
+
+        def batch_loss(p):
+            def task_loss(task, k):
+                _, loss, m = fast_adapt(policy, p, rollout_fn, task, k, cfg)
+                return loss, m
+            losses, ms = jax.vmap(task_loss)(tasks_batch, keys)
+            return jnp.mean(losses), ms
+
+        (loss, ms), grads = jax.value_and_grad(batch_loss,
+                                               has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), {
+            "meta_loss": jax.lax.pmean(loss, axis),
+            "adapt_reward": jax.lax.pmean(jnp.mean(ms["reward"]), axis),
+            "adapt_success": jax.lax.pmean(jnp.mean(ms["success"]), axis),
+        }
+
+    @jax.jit
+    def train(params, opt_state, key):
+        sharded = shard_map(
+            local_iteration, mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        keys = jax.random.split(key, n_steps)
+        (params, opt_state), metrics = jax.lax.scan(
+            sharded, (params, opt_state), keys)
+        return params, opt_state, metrics
+
+    return train

@@ -55,3 +55,10 @@ from exploring_meta_tpu.rl.train_scan import (
 )
 
 __all__ += ["make_adam_train_scan", "make_trpo_train_scan"]
+
+from exploring_meta_tpu.rl.host_batched import (
+    broadcast_params,
+    collect_task_batched,
+)
+
+__all__ += ["broadcast_params", "collect_task_batched"]

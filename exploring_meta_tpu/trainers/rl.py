@@ -71,8 +71,12 @@ class RLTrainer(Experiment):
 
     def run(self) -> dict:
         cfg = self.cfg
-        env, is_device = make_env(cfg.env, workers=cfg.adapt_batch_size,
-                                  seed=cfg.seed,
+        # Task-batched host collection steps the whole meta-batch through
+        # one big vec env (meta_batch x episodes slots); per-task mode uses
+        # episodes slots reused across tasks (the reference's worker pool).
+        workers = cfg.adapt_batch_size * (
+            cfg.meta_batch_size if cfg.task_batch else 1)
+        env, is_device = make_env(cfg.env, workers=workers, seed=cfg.seed,
                                   max_path_length=cfg.max_path_length)
         policy = build_policy(env, self.anil, fc_neurons=cfg.fc_neurons)
         key = jax.random.key(cfg.seed)
@@ -91,22 +95,33 @@ class RLTrainer(Experiment):
             roll = rl.make_rollout(env, policy.sample,
                                    episodes=cfg.adapt_batch_size,
                                    horizon=cfg.max_path_length)
+        elif cfg.task_batch:
+            from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+            roll = make_grouped_host_rollout(env, policy,
+                                             cfg.max_path_length,
+                                             cfg.meta_batch_size,
+                                             cfg.adapt_batch_size)
         else:
             from exploring_meta_tpu.envs.host import make_host_rollout
             roll = make_host_rollout(env, policy, cfg.max_path_length)
 
-        use_fused = (cfg.fuse > 1 and is_device
-                     and getattr(cfg, "mesh", 1) <= 1)
+        use_fused = cfg.fuse > 1 and is_device
         if use_fused:
             step_fn = None
         elif self.algo == "trpo":
             if is_device:
                 step_fn = self._make_trpo_iteration(env, policy, roll, rl_cfg)
+            elif cfg.task_batch:
+                step_fn = self._make_host_batched_iteration(env, policy,
+                                                            roll, rl_cfg)
             else:
                 step_fn = self._make_host_trpo_iteration(env, policy, roll,
                                                          rl_cfg)
         elif is_device:
             step_fn = self._make_adam_iteration(env, policy, roll, rl_cfg)
+        elif cfg.task_batch:
+            step_fn = self._make_host_batched_iteration(env, policy, roll,
+                                                        rl_cfg)
         else:
             step_fn = self._make_host_adam_iteration(env, policy, roll,
                                                      rl_cfg)
@@ -173,9 +188,26 @@ class RLTrainer(Experiment):
                                  ls_max_steps=cfg.ls_max_steps,
                                  backtrack_factor=cfg.backtrack_factor)
 
+        mesh = None
+        if getattr(cfg, "mesh", 1) > 1:
+            # --mesh N --fuse K together: each chunk of K iterations is one
+            # XLA program task-DP-sharded over N chips (parallel/mesh.py).
+            from exploring_meta_tpu import parallel
+            mesh = parallel.make_task_mesh(cfg.mesh)
+
         def run_chunk(n, params, opt_state, k):
             if n not in scans:
-                if self.algo == "trpo":
+                if mesh is not None:
+                    from exploring_meta_tpu import parallel
+                    if self.algo == "trpo":
+                        scans[n] = parallel.make_sharded_trpo_train_scan(
+                            env, policy, roll, rl_cfg, trpo_cfg,
+                            cfg.meta_batch_size, n, mesh)
+                    else:
+                        scans[n] = parallel.make_sharded_adam_train_scan(
+                            env, policy, roll, rl_cfg, opt, self.algo,
+                            cfg.meta_batch_size, n, mesh)
+                elif self.algo == "trpo":
                     scans[n] = rl.make_trpo_train_scan(
                         env, policy, roll, rl_cfg, trpo_cfg,
                         cfg.meta_batch_size, n)
@@ -209,12 +241,17 @@ class RLTrainer(Experiment):
 
     # -- TRPO outer step ---------------------------------------------------
 
-    def _make_trpo_iteration(self, env, policy, roll, rl_cfg):
+    def _make_trpo_meta_step(self, policy, rl_cfg):
+        """The (optionally mesh-sharded, ``--mesh N``) TRPO outer step:
+        ``(params, old_params_stack, replays) -> (params, info)``."""
         cfg = self.cfg
         trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
                                  ls_max_steps=cfg.ls_max_steps,
                                  backtrack_factor=cfg.backtrack_factor)
         if getattr(cfg, "mesh", 1) > 1:
+            # Replays are placed task-sharded across chips; the 2nd-order
+            # surrogate/CG/line search runs task-DP with pmean over ICI
+            # (parallel/mesh.py).
             from exploring_meta_tpu import parallel
             mesh = parallel.make_task_mesh(cfg.mesh)
             sharded_step = parallel.make_sharded_trpo_meta_step(
@@ -224,9 +261,14 @@ class RLTrainer(Experiment):
                 s_old, s_rep = parallel.shard_task_batch(
                     mesh, (old_params, replays))
                 return sharded_step(params, s_old, s_rep)
-        else:
-            meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
-                                               adapt_steps=cfg.adapt_steps)
+
+            return meta_step
+        return rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
+                                      adapt_steps=cfg.adapt_steps)
+
+    def _make_trpo_iteration(self, env, policy, roll, rl_cfg):
+        cfg = self.cfg
+        meta_step = self._make_trpo_meta_step(policy, rl_cfg)
 
         @jax.jit
         def collect(params, tasks_batch, keys):
@@ -263,26 +305,7 @@ class RLTrainer(Experiment):
 
     def _make_host_trpo_iteration(self, env, policy, roll, rl_cfg):
         cfg = self.cfg
-        trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
-                                 ls_max_steps=cfg.ls_max_steps,
-                                 backtrack_factor=cfg.backtrack_factor)
-        if getattr(cfg, "mesh", 1) > 1:
-            # Host rollouts feed a mesh-sharded outer step: replays are
-            # placed task-sharded across chips, the 2nd-order surrogate/
-            # CG/line search runs task-DP with pmean over ICI (the same
-            # path as device envs; parallel/mesh.py).
-            from exploring_meta_tpu import parallel
-            mesh = parallel.make_task_mesh(cfg.mesh)
-            sharded_step = parallel.make_sharded_trpo_meta_step(
-                policy, rl_cfg, trpo_cfg, cfg.adapt_steps, mesh)
-
-            def meta_step(params, old_params, replays):
-                s_old, s_rep = parallel.shard_task_batch(
-                    mesh, (old_params, replays))
-                return sharded_step(params, s_old, s_rep)
-        else:
-            meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
-                                               adapt_steps=cfg.adapt_steps)
+        meta_step = self._make_trpo_meta_step(policy, rl_cfg)
 
         def iteration(params, _, key):
             key, tk = jax.random.split(key)
@@ -308,6 +331,61 @@ class RLTrainer(Experiment):
                 "adapt_success": sum(sucs) / len(sucs),
                 "meta_loss": float(info["old_loss"]),
                 "ls_accepted": bool(info["accepted"]),
+            }
+
+        return iteration
+
+    # -- task-batched host collection (--task_batch): one big vec env -------
+
+    def _make_host_batched_iteration(self, env, policy, roll, rl_cfg):
+        """Host iteration with task-batched collection: the whole
+        meta-batch rolls out in lockstep through one
+        ``meta_batch x episodes``-slot vec env (rl/host_batched.py) —
+        ``meta_batch``x fewer policy round-trips than the per-task loop —
+        then the standard replay outer step (TRPO natural gradient or
+        Adam through the re-derived query losses)."""
+        from exploring_meta_tpu.rl.host_batched import collect_task_batched
+        cfg = self.cfg
+        algo = self.algo
+
+        if algo == "trpo":
+            meta_step = self._make_trpo_meta_step(policy, rl_cfg)
+        else:
+            opt = optax.adam(cfg.outer_lr)
+            meta_loss = make_replay_meta_loss(algo, policy, rl_cfg)
+
+            @jax.jit
+            def outer(params, opt_state, stacked_replays):
+                loss, grads = jax.value_and_grad(meta_loss)(params,
+                                                            stacked_replays)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+        def iteration(params, opt_state, key):
+            key, tk, ck = jax.random.split(key, 3)
+            tasks_list = env.sample_tasks(tk, cfg.meta_batch_size)
+            with self._ph("collect") as sync:
+                old_params, replays, m = collect_task_batched(
+                    algo, policy, params, roll, tasks_list, ck, rl_cfg)
+                sync.append(replays)
+            with self._ph("meta_step") as sync:
+                if algo == "trpo":
+                    params, info = meta_step(params, old_params, replays)
+                    loss = float(info["old_loss"])
+                    extra = {"ls_accepted": bool(info["accepted"])}
+                else:
+                    if opt_state is None:
+                        opt_state = opt.init(params)
+                    params, opt_state, loss = outer(params, opt_state,
+                                                    replays)
+                    loss = float(loss)
+                    extra = {}
+                sync.append(params)
+            return params, opt_state, {
+                "meta_loss": loss,
+                "adapt_reward": m["reward"],
+                "adapt_success": m["success"],
+                **extra,
             }
 
         return iteration

@@ -108,6 +108,8 @@ class RLScriptConfig:
     mesh: int = 1                # devices for task-DP sharding (TRPO outer step)
     profile: bool = False        # per-phase timing -> phase_times.json
     fuse: int = 1                # iterations fused per XLA program (device envs)
+    task_batch: bool = False     # host envs: collect the whole meta-batch
+                                 # through one meta_batch*episodes vec env
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -147,5 +149,10 @@ def rl_argparser(defaults: RLScriptConfig,
                    help="record per-phase device times -> phase_times.json")
     p.add_argument("--fuse", type=int, default=defaults.fuse,
                    help="meta-iterations fused into one XLA program "
-                        "(device envs, single device)")
+                        "(device envs; composes with --mesh)")
+    p.add_argument("--task_batch", action="store_true",
+                   default=defaults.task_batch,
+                   help="host envs: collect all tasks' episodes in lockstep "
+                        "through one meta_batch*episodes vec env (one policy "
+                        "round-trip per step for the whole meta-batch)")
     return p

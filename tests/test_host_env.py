@@ -195,3 +195,96 @@ class TestEvalTaskSelection:
                           device_env=False, each3=True)
         assert len(out["tasks_rewards"]) == 15  # 5 ids x 3 trials
         assert np.isfinite(out["mean_reward"])
+
+
+class TestTaskBatchedCollection:
+    """Task-batched host collection (envs/host.py make_grouped_host_rollout
+    + rl/host_batched.py): one policy round-trip per step for the WHOLE
+    meta-batch."""
+
+    N_TASKS, EPISODES, HORIZON = 3, 2, 8
+
+    def _policies(self, zero_noise: bool = False):
+        policy = DiagNormalPolicy(input_size=2, output_size=1,
+                                  hiddens=(8, 8))
+        params = policy.init(jax.random.key(0))
+        if zero_noise:
+            # clamp the exploration noise to the sigma floor (1e-6) so the
+            # deterministic fake env produces comparable trajectories under
+            # different key trees (rollout-equality only: with sigma this
+            # small the importance ratios in the losses are degenerate)
+            params = dict(params,
+                          sigma=jnp.full_like(params["sigma"], -20.0))
+        return policy, params
+
+    def test_grouped_rollout_matches_per_task(self):
+        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+        from exploring_meta_tpu.rl.host_batched import broadcast_params
+        policy, params = self._policies(zero_noise=True)
+        tasks = FakeHostEnv(seed=3).sample_tasks(None, self.N_TASKS)
+
+        big = HostVecEnv(lambda: FakeHostEnv(), self.N_TASKS * self.EPISODES)
+        grouped = make_grouped_host_rollout(big, policy, self.HORIZON,
+                                            self.N_TASKS, self.EPISODES)
+        batched = grouped(broadcast_params(params, self.N_TASKS), tasks,
+                          jax.random.key(1))
+        assert batched.state.shape == (self.N_TASKS, self.HORIZON,
+                                       self.EPISODES, 2)
+
+        small = HostVecEnv(lambda: FakeHostEnv(), self.EPISODES)
+        roll = make_host_rollout(small, policy, self.HORIZON)
+        for i in range(self.N_TASKS):
+            ref = roll(params, tasks[i], jax.random.key(2))
+            got = jax.tree_util.tree_map(lambda x: x[i], batched)
+            for name in ("state", "action", "reward", "done", "valid",
+                         "success"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(got, name)),
+                    np.asarray(getattr(ref, name)), atol=1e-3,
+                    err_msg=f"task {i} field {name}")
+
+    def test_collect_feeds_trpo_meta_step(self):
+        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+        from exploring_meta_tpu.rl.host_batched import collect_task_batched
+        policy, params = self._policies()
+        big = HostVecEnv(lambda: FakeHostEnv(), self.N_TASKS * self.EPISODES)
+        grouped = make_grouped_host_rollout(big, policy, self.HORIZON,
+                                            self.N_TASKS, self.EPISODES)
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=2, adapt_batch_size=2,
+                          max_path_length=self.HORIZON)
+        tasks = big.sample_tasks(None, self.N_TASKS)
+        old, replays, m = collect_task_batched("trpo", policy, params,
+                                               grouped, tasks,
+                                               jax.random.key(4), cfg)
+        assert replays.state.shape == (self.N_TASKS, 3, self.HORIZON,
+                                       self.EPISODES, 2)
+        assert np.isfinite(m["reward"])
+
+        new_params, info = rl.meta_optimize_trpo(
+            policy, params, old, replays, cfg, rl.TRPOConfig(outer_lr=0.05),
+            adapt_steps=2)
+        assert np.isfinite(float(info["old_loss"]))
+        moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                    for a, b in zip(jax.tree_util.tree_leaves(params),
+                                    jax.tree_util.tree_leaves(new_params)))
+        assert moved or not bool(info["accepted"])
+
+    def test_collect_feeds_ppo_replay_loss(self):
+        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+        from exploring_meta_tpu.rl.host_batched import collect_task_batched
+        from exploring_meta_tpu.rl.replay_meta import make_replay_meta_loss
+        policy, params = self._policies()
+        big = HostVecEnv(lambda: FakeHostEnv(), self.N_TASKS * self.EPISODES)
+        grouped = make_grouped_host_rollout(big, policy, self.HORIZON,
+                                            self.N_TASKS, self.EPISODES)
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=2,
+                          max_path_length=self.HORIZON, ppo_epochs=2)
+        tasks = big.sample_tasks(None, self.N_TASKS)
+        _, replays, _ = collect_task_batched("ppo", policy, params, grouped,
+                                             tasks, jax.random.key(5), cfg)
+        meta_loss = make_replay_meta_loss("ppo", policy, cfg)
+        loss, grads = jax.value_and_grad(meta_loss)(params, replays)
+        assert np.isfinite(float(loss))
+        gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                    for g in jax.tree_util.tree_leaves(grads))
+        assert gnorm > 0

@@ -253,3 +253,21 @@ def test_ml10_rc_eval_each_task(fake_metaworld, tmp_path):
                          eval_each_task=True)
     # 5 distinct test tasks x 3 trials each
     assert len(res["cca"]["1"]) == 15
+
+
+@pytest.mark.slow
+def test_ml10_task_batched_training(fake_metaworld, tmp_path):
+    """--task_batch on a host env: the whole meta-batch collects through
+    one meta_batch*episodes vec env; trainer contract preserved."""
+    from exploring_meta_tpu.trainers.rl import RLTrainer
+    from exploring_meta_tpu.utils.config import RLScriptConfig
+
+    cfg = RLScriptConfig(env="ML10", num_iterations=2, meta_batch_size=2,
+                         adapt_batch_size=2, max_path_length=6,
+                         adapt_steps=1, save_every=2, n_eval_tasks=2,
+                         seed=7, task_batch=True)
+    trainer = RLTrainer(cfg, algo="ppo", path=str(tmp_path) + "/")
+    final = trainer.run()
+    assert np.isfinite(final["mean_reward"])
+    assert len(trainer.metrics["adapt_reward"]) == 2
+    assert len(trainer.metrics["meta_loss"]) == 2

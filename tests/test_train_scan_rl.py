@@ -72,6 +72,27 @@ def test_rl_trainer_fused_device(tmp_path):
 
 
 @pytest.mark.slow
+def test_rl_trainer_mesh_plus_fuse(tmp_path, eight_devices):
+    """--mesh 4 --fuse 2 together on a device env: every chunk is one
+    task-DP-sharded XLA program; metrics/checkpoint contract preserved."""
+    from exploring_meta_tpu.trainers.rl import RLTrainer
+    from exploring_meta_tpu.utils.config import RLScriptConfig
+
+    cfg = RLScriptConfig(env="Particles2D-v1", num_iterations=4,
+                         meta_batch_size=4, adapt_batch_size=2,
+                         max_path_length=10, save_every=3, n_eval_tasks=2,
+                         seed=0, fuse=2, mesh=4)
+    trainer = RLTrainer(cfg, algo="trpo", path=str(tmp_path) + "/")
+    final = trainer.run()
+    assert np.isfinite(final["mean_reward"])
+    assert len(trainer.metrics["adapt_reward"]) == 4
+    assert len(trainer.metrics["meta_loss"]) == 4
+    import glob
+    assert glob.glob(os.path.join(trainer.model_path, "model_checkpoints",
+                                  "*.npz"))
+
+
+@pytest.mark.slow
 def test_rl_trainer_fused_ppo_learns(tmp_path):
     from exploring_meta_tpu.trainers.rl import RLTrainer
     from exploring_meta_tpu.utils.config import RLScriptConfig
