@@ -43,10 +43,13 @@ def _checkpoint_path(base_path: str, checkpoint: int | None) -> str:
 def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
         run_rc: bool = False, n_eval_tasks: int | str | None = None,
         each3: bool = False, test_on_train: bool = False,
-        checkpoint: int | None = None, workers: int | None = None) -> dict:
+        checkpoint: int | None = None, workers: int | None = None,
+        task_batch: bool = False) -> dict:
     """Evaluate a run directory. ``n_eval_tasks`` may be an int (sample
     that many tasks) or a task name string (explicit single ML10 task,
-    reference eval_params['n_tasks'] comment at eval_rl.py:46-49)."""
+    reference eval_params['n_tasks'] comment at eval_rl.py:46-49).
+    ``task_batch`` evaluates all selected tasks in lockstep through one
+    big vec env (host envs; see rl/host_batched.py)."""
     with open(os.path.join(base_path, "logger.json")) as f:
         config = json.load(f)["config"]
     anil = config["algo"].startswith("anil")
@@ -82,6 +85,18 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
 
     key = jax.random.key(seed + 1)
     out = {}
+    grouped_roll_factory = None
+    if task_batch and not is_device:
+        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+
+        def grouped_roll_factory(n: int):
+            big, _ = make_env(env_name, workers=n * cfg.adapt_batch_size,
+                              seed=seed, test=(not test_on_train),
+                              max_path_length=cfg.max_path_length)
+            return make_grouped_host_rollout(big, policy,
+                                             cfg.max_path_length, n,
+                                             cfg.adapt_batch_size)
+
     if run_eval:
         key, k = jax.random.split(key)
         n_tasks = n_eval_tasks if n_eval_tasks is not None else config.get(
@@ -89,7 +104,9 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
         out["eval"] = rl.evaluate(
             algo, policy, params, env, roll, cfg, n_tasks=n_tasks, key=k,
             device_env=is_device, each3=each3, test_on_train=test_on_train,
-            extra_info=extra_info)
+            extra_info=extra_info,
+            task_batch=task_batch and not is_device,
+            grouped_roll_factory=grouped_roll_factory)
         print("Final evaluation:", out["eval"]["mean_reward"],
               "success:", out["eval"]["mean_success"])
 

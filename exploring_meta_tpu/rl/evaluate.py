@@ -63,7 +63,9 @@ def sample_explicit_task(env, key, task_name: str, pool: int = 100):
 def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
              cfg: RLConfig, n_tasks: int | str, key,
              device_env: bool = True, each3: bool = False,
-             test_on_train: bool = False, extra_info: bool = False) -> dict:
+             test_on_train: bool = False, extra_info: bool = False,
+             task_batch: bool = False,
+             grouped_roll_factory: Callable | None = None) -> dict:
     """Adapt + evaluate on fresh tasks; -> metrics dict with per-task
     rewards, mean reward, mean success rate, and (Meta-World) rewards
     grouped by task name.
@@ -82,6 +84,12 @@ def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
     ``device_env=True`` vmaps all task adaptations into one XLA program;
     ``False`` loops eagerly (host-physics envs, whose tasks may be
     arbitrary Python objects).
+
+    ``task_batch=True`` (host envs) adapts and evaluates ALL selected
+    tasks in lockstep through one big vec env (rl/host_batched.py) —
+    one policy round-trip per step for the whole task list.
+    ``grouped_roll_factory(n_tasks)`` must build the matching grouped
+    rollout (meta_test provides it from the env name).
 
     Note: ``mean_reward`` is the true mean over the evaluated task list —
     the reference divides by ``params['n_tasks']`` even under ``each3``
@@ -120,6 +128,25 @@ def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
     keys = jax.random.split(key, n_tasks)
     if device_env:
         rewards, successes = jax.vmap(eval_one)(tasks, keys)
+    elif task_batch:
+        # Adapt all tasks in lockstep, then one batched measurement
+        # rollout with the per-task adapted policies — the same
+        # adapt-then-fresh-rollout contract as eval_one, collected with
+        # n_tasks-fold fewer per-step round-trips.
+        from exploring_meta_tpu.rl.host_batched import collect_task_batched
+        if grouped_roll_factory is None:
+            raise ValueError("task_batch=True needs grouped_roll_factory")
+        grouped = grouped_roll_factory(n_tasks)
+        key, ck = jax.random.split(key)
+        adapted, _, _ = collect_task_batched(algo, policy, params, grouped,
+                                             tasks, ck, cfg)
+        query = grouped(adapted, tasks, jax.random.fold_in(ck, 1))
+
+        def task_metrics(q):
+            rew = jnp.sum(q.reward * q.valid) / q.n_episodes
+            return rew, jnp.mean(q.episode_successes())
+
+        rewards, successes = jax.jit(jax.vmap(task_metrics))(query)
     else:
         pairs = [eval_one(task, k) for task, k in zip(tasks, keys)]
         rewards = jnp.stack([p[0] for p in pairs])
@@ -148,7 +175,7 @@ def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
 def meta_test(algo: str, env_name: str, policy, params, cfg: RLConfig,
               n_tasks: int | str, key, seed: int = 42,
               test_on_train: bool = False, each3: bool = False,
-              workers: int | None = None) -> dict:
+              workers: int | None = None, task_batch: bool = False) -> dict:
     """The reference's full ``evaluate`` contract (rl.py:142-196): build a
     FRESH env from the name with ``test=(not test_on_train)`` (rl.py:153),
     then adapt + evaluate. Routes device envs through the vmapped path and
@@ -164,14 +191,28 @@ def meta_test(algo: str, env_name: str, policy, params, cfg: RLConfig,
     env, is_device = make_env(env_name, workers=workers or cfg.adapt_batch_size,
                               seed=seed, test=(not test_on_train),
                               max_path_length=cfg.max_path_length)
+    grouped_roll_factory = None
     if is_device:
         roll = make_rollout(env, policy.sample,
                             episodes=cfg.adapt_batch_size,
                             horizon=cfg.max_path_length)
+    elif task_batch:
+        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+        roll = None  # evaluation goes through the grouped rollout
+
+        def grouped_roll_factory(n: int):
+            big, _ = make_env(env_name, workers=n * cfg.adapt_batch_size,
+                              seed=seed, test=(not test_on_train),
+                              max_path_length=cfg.max_path_length)
+            return make_grouped_host_rollout(big, policy,
+                                             cfg.max_path_length, n,
+                                             cfg.adapt_batch_size)
     else:
         from exploring_meta_tpu.envs.host import make_host_rollout
         roll = make_host_rollout(env, policy, cfg.max_path_length)
     return evaluate(algo, policy, params, env, roll, cfg, n_tasks, key,
                     device_env=is_device, each3=each3,
                     test_on_train=test_on_train,
-                    extra_info=env_name.startswith("ML"))
+                    extra_info=env_name.startswith("ML"),
+                    task_batch=task_batch and not is_device,
+                    grouped_roll_factory=grouped_roll_factory)

@@ -162,7 +162,8 @@ class RLTrainer(Experiment):
         # call evaluate() which builds test=True, rl.py:153).
         key, ek = jax.random.split(key)
         final = rl.meta_test(self.algo, cfg.env, policy, params, rl_cfg,
-                             n_tasks=cfg.n_eval_tasks, key=ek, seed=cfg.seed)
+                             n_tasks=cfg.n_eval_tasks, key=ek, seed=cfg.seed,
+                             task_batch=cfg.task_batch)
         print("Final evaluation:", final["mean_reward"],
               "success:", final["mean_success"])
         self.logger["final_eval"] = final

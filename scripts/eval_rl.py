@@ -29,11 +29,15 @@ def main():
                         "the final model (reference eval_rl.py:29)")
     p.add_argument("--workers", type=int, default=None,
                    help="host-env episode slots (defaults to adapt_batch_size)")
+    p.add_argument("--task_batch", action="store_true",
+                   help="host envs: adapt+evaluate all tasks in lockstep "
+                        "through one n_tasks*episodes vec env")
     args = p.parse_args()
     eval_rl.run(args.path, run_cl=args.cl, run_rc=args.rc,
                 n_eval_tasks=args.task or args.n_eval_tasks,
                 each3=args.each3, test_on_train=args.test_on_train,
-                checkpoint=args.checkpoint, workers=args.workers)
+                checkpoint=args.checkpoint, workers=args.workers,
+                task_batch=args.task_batch)
 
 
 if __name__ == "__main__":

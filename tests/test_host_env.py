@@ -288,3 +288,26 @@ class TestTaskBatchedCollection:
         gnorm = sum(float(jnp.sum(jnp.abs(g)))
                     for g in jax.tree_util.tree_leaves(grads))
         assert gnorm > 0
+
+    def test_evaluate_task_batched_matches_contract(self):
+        """evaluate(task_batch=True) returns the standard metrics dict with
+        one entry per selected task, via lockstep collection."""
+        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+        policy, params = self._policies()
+        env = HostVecEnv(lambda: FakeHostEnv(), self.EPISODES)
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1,
+                          adapt_batch_size=self.EPISODES,
+                          max_path_length=self.HORIZON)
+
+        def factory(n):
+            big = HostVecEnv(lambda: FakeHostEnv(), n * self.EPISODES)
+            return make_grouped_host_rollout(big, policy, self.HORIZON, n,
+                                             self.EPISODES)
+
+        out = rl.evaluate("trpo", policy, params, env, None, cfg,
+                          n_tasks=self.N_TASKS, key=jax.random.key(6),
+                          device_env=False, task_batch=True,
+                          grouped_roll_factory=factory)
+        assert len(out["tasks_rewards"]) == self.N_TASKS
+        assert len(out["tasks_success_rate"]) == self.N_TASKS
+        assert np.isfinite(out["mean_reward"])

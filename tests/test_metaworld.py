@@ -271,3 +271,23 @@ def test_ml10_task_batched_training(fake_metaworld, tmp_path):
     assert np.isfinite(final["mean_reward"])
     assert len(trainer.metrics["adapt_reward"]) == 2
     assert len(trainer.metrics["meta_loss"]) == 2
+
+
+def test_ml10_meta_test_task_batched(fake_metaworld):
+    """meta_test(task_batch=True) on fake ML10: lockstep adaptation +
+    evaluation, per-task-name rewards preserved."""
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    env, _ = make_env("ML10", workers=1, seed=0, max_path_length=4)
+    policy = DiagNormalPolicy(input_size=env.obs_size,
+                              output_size=env.action_size, hiddens=(8, 8))
+    params = policy.init(jax.random.key(0))
+    cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=2,
+                      max_path_length=4)
+    out = rl.meta_test("ppo", "ML10", policy, params, cfg, n_tasks=3,
+                       key=jax.random.key(1), seed=0, task_batch=True)
+    assert len(out["tasks_rewards"]) == 3
+    assert np.isfinite(out["mean_reward"])
+    assert out["rewards_per_task"]
+    assert set(out["rewards_per_task"]) <= set(ML10_EVAL_TASK_NAMES.values())
