@@ -110,7 +110,8 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
                   cfg: "rl_mod.RLConfig", key, n_tasks: int = 5,
                   algo: str = "trpo", eval_batch_size: int | None = None,
                   normalize_rewards: bool = False,
-                  one_per_task: bool = False) -> tuple:
+                  one_per_task: bool = False,
+                  grouped_roll_factory: Callable | None = None) -> tuple:
     """RL CL experiment -> (rew_matrix, cl_res_rew, cl_res_suc).
 
     Reference ``run_cl_rl_exp`` (cl_rl.py:26-153): per train-task i, adapt
@@ -120,6 +121,13 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
     reference's ML10 mode). Host envs additionally record per-step
     adaptation progress (reward + success per adapt step per task,
     cl_rl.py:59-91) into ``cl_exp/adapt_progress.json``.
+
+    ``grouped_roll_factory`` (host envs; see rl/host_batched.py) switches
+    to task-batched collection: all n adaptations run in lockstep
+    (adapt_steps batched rollout phases instead of n*adapt_steps), and
+    each matrix row evaluates on all n tasks in one batched rollout
+    (n phases instead of n^2) — same math, n-fold fewer per-step policy
+    round-trips.
     """
     cl_path = os.path.join(path, "cl_exp")
     os.makedirs(cl_path, exist_ok=True)
@@ -130,10 +138,11 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
         n_tasks = len(tasks)
     else:
         tasks = env.sample_tasks(tk, n_tasks)
-    # Host envs (MuJoCo / Meta-World) return a Python list of task objects
-    # and an eager rollout_fn — loop instead of vmapping (the reference is
-    # always eager: cl_rl.py:49-124).
-    host_env = isinstance(tasks, list)
+    # Host envs (MuJoCo / Meta-World) step physics eagerly — loop instead
+    # of vmapping/jitting (the reference is always eager: cl_rl.py:49-124).
+    # Detect by the vec-env collection API, NOT the task container type:
+    # Meta-World tasks are dict lists but Ant tasks are plain ndarrays.
+    host_env = hasattr(env, "collect")
     maybe_jit = (lambda f: f) if host_env else jax.jit
 
     rew_progress: dict = {}
@@ -185,15 +194,47 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
 
     rew_matrix = np.zeros((n_tasks, n_tasks))
     suc_matrix = np.zeros((n_tasks, n_tasks))
-    for i in range(n_tasks):
-        key, ka, ke = jax.random.split(key, 3)
-        task_i = tasks[i] if host_env else jax.tree_util.tree_map(
-            lambda x: x[i], tasks)
-        adapted = adapt_host(task_i, ka, i) if host_env else adapt_on(
-            task_i, ka)
-        rews, sucs = eval_on_all(adapted, ke)
-        rew_matrix[i] = np.asarray(rews)
-        suc_matrix[i] = np.asarray(sucs)
+    if host_env and grouped_roll_factory is not None:
+        from exploring_meta_tpu.rl.host_batched import broadcast_params
+        grouped = grouped_roll_factory(n_tasks)
+        traj_metrics = jax.jit(jax.vmap(lambda q: (
+            jnp.sum(q.reward * q.valid) / q.n_episodes,
+            jnp.mean(q.episode_successes()))))
+        inner = jax.jit(jax.vmap(
+            lambda p, t: rl_mod.single_adapt_step(algo, policy, p, t, cfg)))
+
+        # All n adaptations in lockstep, progress recorded per step.
+        cur = broadcast_params(params, n_tasks)
+        for step in range(cfg.adapt_steps):
+            key, kk = jax.random.split(key)
+            support = grouped(cur, tasks, kk)
+            rews, sucs = traj_metrics(support)
+            for i in range(n_tasks):
+                rew_progress.setdefault(f"task_{i + 1}", {})[
+                    f"step_{step}"] = float(rews[i])
+                suc_progress.setdefault(f"task_{i + 1}", {})[
+                    f"step_{step}"] = float(sucs[i])
+            cur = inner(cur, support)
+
+        # Row i of the matrix: adapted policy i on ALL tasks, one batched
+        # rollout per row.
+        for i in range(n_tasks):
+            key, ke = jax.random.split(key)
+            adapted_i = jax.tree_util.tree_map(lambda x: x[i], cur)
+            traj = grouped(broadcast_params(adapted_i, n_tasks), tasks, ke)
+            rews, sucs = traj_metrics(traj)
+            rew_matrix[i] = np.asarray(rews)
+            suc_matrix[i] = np.asarray(sucs)
+    else:
+        for i in range(n_tasks):
+            key, ka, ke = jax.random.split(key, 3)
+            task_i = tasks[i] if host_env else jax.tree_util.tree_map(
+                lambda x: x[i], tasks)
+            adapted = adapt_host(task_i, ka, i) if host_env else adapt_on(
+                task_i, ka)
+            rews, sucs = eval_on_all(adapted, ke)
+            rew_matrix[i] = np.asarray(rews)
+            suc_matrix[i] = np.asarray(sucs)
 
     if normalize_rewards:  # reference cl_rl.py:127-133 (sklearn normalize)
         norms = np.linalg.norm(rew_matrix, axis=1, keepdims=True)

@@ -126,9 +126,10 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
                     os.path.join(base_path, f"{stem}_{n_tasks}.png"))
     if run_cl:
         key, k = jax.random.split(key)
-        _, cl_rew, cl_suc = run_cl_rl_exp(base_path, policy, params, env,
-                                          roll, cfg, k, algo=algo,
-                                          one_per_task=extra_info)
+        _, cl_rew, cl_suc = run_cl_rl_exp(
+            base_path, policy, params, env, roll, cfg, k, algo=algo,
+            one_per_task=extra_info,
+            grouped_roll_factory=grouped_roll_factory)
         out["cl_res_rew"], out["cl_res_suc"] = cl_rew, cl_suc
     if run_rc:
         key, k = jax.random.split(key)

@@ -311,3 +311,51 @@ class TestTaskBatchedCollection:
         assert len(out["tasks_rewards"]) == self.N_TASKS
         assert len(out["tasks_success_rate"]) == self.N_TASKS
         assert np.isfinite(out["mean_reward"])
+
+    def test_cl_rl_exp_task_batched(self, tmp_path):
+        """Batched CL matrix: same artifacts/shape as the sequential host
+        path, adapt-progress recorded per task per step."""
+        import json, os
+        from exploring_meta_tpu.analysis.cl import run_cl_rl_exp
+        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+        policy, params = self._policies()
+        env = HostVecEnv(lambda: FakeHostEnv(), self.EPISODES)
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=2,
+                          adapt_batch_size=self.EPISODES,
+                          max_path_length=self.HORIZON)
+
+        def factory(n):
+            big = HostVecEnv(lambda: FakeHostEnv(), n * self.EPISODES)
+            return make_grouped_host_rollout(big, policy, self.HORIZON, n,
+                                             self.EPISODES)
+
+        roll = make_host_rollout(env, policy, self.HORIZON)
+        rew_m, cl_rew, cl_suc = run_cl_rl_exp(
+            str(tmp_path), policy, params, env, roll, cfg,
+            jax.random.key(8), n_tasks=self.N_TASKS, algo="trpo",
+            grouped_roll_factory=factory)
+        assert rew_m.shape == (self.N_TASKS, self.N_TASKS)
+        assert np.all(np.isfinite(rew_m))
+        assert np.isfinite(cl_rew["av_acc"]) and np.isfinite(cl_suc["av_acc"])
+        prog = json.load(open(os.path.join(str(tmp_path), "cl_exp",
+                                           "adapt_progress.json")))
+        assert set(prog["reward"]) == {f"task_{i+1}"
+                                       for i in range(self.N_TASKS)}
+        assert set(prog["reward"]["task_1"]) == {"step_0", "step_1"}
+
+    def test_cl_rl_exp_host_array_tasks_sequential(self, tmp_path):
+        """Regression: host envs with ndarray tasks (AntDirection shape)
+        must take the eager path — host-ness comes from the env, not the
+        task container type."""
+        from exploring_meta_tpu.analysis.cl import run_cl_rl_exp
+        policy, params = self._policies()
+        env = HostVecEnv(lambda: FakeHostEnv(), self.EPISODES)
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1,
+                          adapt_batch_size=self.EPISODES,
+                          max_path_length=self.HORIZON)
+        roll = make_host_rollout(env, policy, self.HORIZON)
+        rew_m, _, _ = run_cl_rl_exp(str(tmp_path), policy, params, env,
+                                    roll, cfg, jax.random.key(9),
+                                    n_tasks=2, algo="trpo")
+        assert rew_m.shape == (2, 2)
+        assert np.all(np.isfinite(rew_m))
