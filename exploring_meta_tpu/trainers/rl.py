@@ -142,7 +142,8 @@ class RLTrainer(Experiment):
                     self.log_metrics(metrics)
                     if iteration % cfg.save_every == 0:
                         self.save_model_checkpoint(params, iteration,
-                                                   rng_key=key)
+                                                   rng_key=key,
+                                                   async_write=cfg.async_ckpt)
         except KeyboardInterrupt:
             print("\nManually stopped training! Start evaluation & saving...\n")
             self.logger["manually_stopped"] = True
@@ -150,6 +151,7 @@ class RLTrainer(Experiment):
             if use_fused and self._fused_params is not None:
                 params = self._fused_params
 
+        self.flush_checkpoints()
         self.save_model(params)
         self.logger["elapsed_time"] = (
             f"{round(t.format_dict['elapsed'], 2)} sec")
@@ -237,7 +239,8 @@ class RLTrainer(Experiment):
             t.update(n)
             t.set_postfix({name: float(v[-1]) for name, v in ms.items()})
             if (it // cfg.save_every) > ((it - n) // cfg.save_every):
-                self.save_model_checkpoint(params, iteration, rng_key=key)
+                self.save_model_checkpoint(params, iteration, rng_key=key,
+                                           async_write=cfg.async_ckpt)
         return iteration
 
     # -- TRPO outer step ---------------------------------------------------

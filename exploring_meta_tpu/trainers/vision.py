@@ -150,7 +150,8 @@ class VisionTrainer(Experiment):
                     if (it // cfg.save_every) > ((it - n) // cfg.save_every):
                         self.save_model_checkpoint(params, iteration,
                                                    opt_state=opt_state,
-                                                   rng_key=key)
+                                                   rng_key=key,
+                                                   async_write=cfg.async_ckpt)
             else:
                 for iteration in t:
                     key, k_tr, k_va = jax.random.split(key, 3)
@@ -183,12 +184,14 @@ class VisionTrainer(Experiment):
                     if iteration % cfg.save_every == 0:
                         self.save_model_checkpoint(params, iteration,
                                                    opt_state=opt_state,
-                                                   rng_key=key)
+                                                   rng_key=key,
+                                                   async_write=cfg.async_ckpt)
         except KeyboardInterrupt:
             print("\nManually stopped training! Start evaluation & saving...\n")
             self.logger["manually_stopped"] = True
             self.params["num_iterations"] = iteration
 
+        self.flush_checkpoints()
         self.save_model(params)
         self.logger["elapsed_time"] = (
             f"{round(t.format_dict['elapsed'], 2)} sec")

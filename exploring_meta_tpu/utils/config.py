@@ -33,6 +33,7 @@ class VisionConfig:
     resume: str = ""             # checkpoint .npz to resume from (new capability)
     profile: bool = False        # per-phase timing -> phase_times.json
     fuse: int = 1                # iterations fused per XLA program (lax.scan)
+    async_ckpt: bool = False     # checkpoint writes on a background thread
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -73,7 +74,12 @@ def vision_argparser(defaults: VisionConfig,
                    help="record per-phase device times -> phase_times.json")
     p.add_argument("--fuse", type=int, default=defaults.fuse,
                    help="meta-iterations fused into one XLA program "
-                        "(single-device; checkpoints land on chunk ends)")
+                        "(composes with --mesh; checkpoints land on chunk "
+                        "ends)")
+    p.add_argument("--async_ckpt", action="store_true",
+                   default=defaults.async_ckpt,
+                   help="write checkpoints on a background thread (training "
+                        "keeps dispatching while the npz drains)")
     return p
 
 
@@ -110,6 +116,7 @@ class RLScriptConfig:
     fuse: int = 1                # iterations fused per XLA program (device envs)
     task_batch: bool = False     # host envs: collect the whole meta-batch
                                  # through one meta_batch*episodes vec env
+    async_ckpt: bool = False     # checkpoint writes on a background thread
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -155,4 +162,7 @@ def rl_argparser(defaults: RLScriptConfig,
                    help="host envs: collect all tasks' episodes in lockstep "
                         "through one meta_batch*episodes vec env (one policy "
                         "round-trip per step for the whole meta-batch)")
+    p.add_argument("--async_ckpt", action="store_true",
+                   default=defaults.async_ckpt,
+                   help="write checkpoints on a background thread")
     return p

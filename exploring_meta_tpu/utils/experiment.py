@@ -73,6 +73,9 @@ class Experiment:
         os.makedirs(self.model_path)
         os.makedirs(os.path.join(self.model_path, "model_checkpoints"))
 
+        self._ckpt_executor = None
+        self._ckpt_futures: list = []
+
         self._use_wandb = False
         if use_wandb:  # optional, gated: wandb is not in the base image
             try:
@@ -119,17 +122,45 @@ class Experiment:
                  **flatten_params(params))
 
     def save_model_checkpoint(self, params, iteration, name: str = "model",
-                              opt_state=None, rng_key=None) -> None:
+                              opt_state=None, rng_key=None,
+                              async_write: bool = False) -> None:
         """Checkpoint with optional resume state (opt/rng), which the
-        reference lacks."""
-        flat = flatten_params(params)
-        if opt_state is not None:
-            flat.update(flatten_params(opt_state, prefix="__opt__/"))
+        reference lacks.
+
+        ``async_write=True`` offloads the device->host fetch and npz write
+        to a single background thread (SURVEY.md §5: periodic async
+        checkpointing for preemptible TPUs) — the training loop keeps
+        dispatching while the previous checkpoint drains. Call
+        :meth:`flush_checkpoints` before reading the files back."""
+        out = os.path.join(self.model_path, "model_checkpoints",
+                           f"{name}_{iteration}.npz")
         if rng_key is not None:
-            flat["__rng__"] = np.asarray(jax.random.key_data(rng_key))
-        flat["__iteration__"] = np.asarray(int(iteration))
-        np.savez(os.path.join(self.model_path, "model_checkpoints",
-                              f"{name}_{iteration}.npz"), **flat)
+            rng_key = np.asarray(jax.random.key_data(rng_key))
+
+        def write():
+            flat = flatten_params(params)
+            if opt_state is not None:
+                flat.update(flatten_params(opt_state, prefix="__opt__/"))
+            if rng_key is not None:
+                flat["__rng__"] = rng_key
+            flat["__iteration__"] = np.asarray(int(iteration))
+            np.savez(out, **flat)
+
+        if async_write:
+            if self._ckpt_executor is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._ckpt_executor = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="ckpt")
+            self._ckpt_futures.append(self._ckpt_executor.submit(write))
+        else:
+            write()
+
+    def flush_checkpoints(self) -> None:
+        """Block until all async checkpoint writes land (re-raises write
+        errors). Trainers call this before final save/eval."""
+        for f in self._ckpt_futures:
+            f.result()
+        self._ckpt_futures.clear()
 
     def save_acc_matrix(self, acc_matrix) -> None:
         print("Saving accuracy matrix..")

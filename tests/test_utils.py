@@ -165,3 +165,43 @@ class TestDiCE:
         diffs = jax.tree_util.tree_map(
             lambda a, b: np.abs(np.asarray(a - b)).max(), g_plain, g_dice)
         assert max(jax.tree_util.tree_leaves(diffs)) > 1e-8
+
+
+class TestAsyncCheckpoints:
+    def test_async_checkpoint_roundtrip(self, tmp_path, monkeypatch):
+        """async_write checkpoints land after flush and load back
+        bit-identical (incl. opt/rng resume state)."""
+        from exploring_meta_tpu.utils.experiment import load_checkpoint
+        monkeypatch.chdir(tmp_path)
+        e = Experiment("maml", "omni", {"seed": 0})
+        params = {"w": jnp.arange(4.0), "b": jnp.ones(2)}
+        opt_state = {"m": jnp.zeros(4)}
+        key = jax.random.key(3)
+        for i in range(3):
+            e.save_model_checkpoint(params, i, opt_state=opt_state,
+                                    rng_key=key, async_write=True)
+        e.flush_checkpoints()
+        path = os.path.join(e.model_path, "model_checkpoints", "model_2.npz")
+        p, o, k, it = load_checkpoint(path, params, opt_state)
+        assert it == 2
+        np.testing.assert_array_equal(np.asarray(p["w"]), np.arange(4.0))
+        np.testing.assert_array_equal(np.asarray(o["m"]), np.zeros(4))
+        assert jax.random.key_data(k).tolist() == \
+            jax.random.key_data(key).tolist()
+
+    def test_async_checkpoint_in_trainer(self, tmp_path, monkeypatch):
+        """--async_ckpt through the vision trainer: files present and
+        loadable at the end of the run."""
+        import glob
+        monkeypatch.chdir(tmp_path)
+        from exploring_meta_tpu.trainers import VisionTrainer
+        from exploring_meta_tpu.utils.config import VisionConfig
+
+        cfg = VisionConfig(dataset="omni", num_iterations=3,
+                           meta_batch_size=2, save_every=1, synthetic=True,
+                           async_ckpt=True)
+        t = VisionTrainer(cfg, anil=False)
+        t.run()
+        ckpts = glob.glob(os.path.join(t.model_path, "model_checkpoints",
+                                       "*.npz"))
+        assert len(ckpts) == 3
