@@ -133,9 +133,10 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
         out["cl_res_rew"], out["cl_res_suc"] = cl_rew, cl_suc
     if run_rc:
         key, k = jax.random.split(key)
-        out["rep_res"] = run_rep_rl_exp(base_path, policy, params, env,
-                                        roll, cfg, k, algo=algo,
-                                        eval_each_task=extra_info)
+        out["rep_res"] = run_rep_rl_exp(
+            base_path, policy, params, env, roll, cfg, k, algo=algo,
+            eval_each_task=extra_info,
+            grouped_roll_factory=grouped_roll_factory)
 
         # Representation drift across training checkpoints on probe states
         # from one rollout (reference rc_rl.py:295-353

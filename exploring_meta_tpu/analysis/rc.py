@@ -120,7 +120,8 @@ def _per_state_similarity(rep_a, rep_b, max_states: int = 50):
 def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
                    key, rep_params: dict | None = None,
                    compare: tuple = ("cca",), algo: str = "trpo",
-                   eval_each_task: bool = False) -> dict:
+                   eval_each_task: bool = False,
+                   grouped_roll_factory: Callable | None = None) -> dict:
     """RL representation-change experiment (reference rc_rl.py:83-221).
 
     Per task: adapt step by step (vpg/ppo/trpo inner updates), tracking
@@ -140,6 +141,11 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
 
     ``eval_each_task=True`` evaluates 3 trials of every distinct task id
     (Meta-World; reference rep_params['eval_each_task']).
+
+    ``grouped_roll_factory`` (host envs; rl/host_batched.py) collects all
+    tasks' rollouts in lockstep — (adapt_steps+1) batched rollout phases
+    instead of n_tasks*(adapt_steps+1) — with identical probe math and
+    artifact layout (probe lists stay task-major).
     """
     from exploring_meta_tpu.rl.evaluate import sample_3_from_each_task
     from exploring_meta_tpu.utils.plotter import (
@@ -157,55 +163,106 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
         tasks = sample_3_from_each_task(env, kt)
     else:
         tasks = env.sample_tasks(kt, rep_params["n_tasks"])
-    host_env = isinstance(tasks, list)
-    n_tasks = len(tasks) if host_env else rep_params["n_tasks"]
+    host_env = hasattr(env, "collect")
+    n_tasks = len(tasks)
 
     results = {m: {str(l): [] for l in layers} for m in compare}
     across_steps = {"init_mean": [], "init_var": [],
                     "adapt_mean": [], "adapt_var": []}
     performance = []
 
-    for i in range(n_tasks):
-        key, ka, kq = jax.random.split(key, 3)
-        task = tasks[i] if host_env else jax.tree_util.tree_map(
-            lambda x: x[i], tasks)
+    def probe_step(task_idx, support_i, before_i, after_i, buf):
+        """Per-(task, step) probes on the support states."""
+        states = np.asarray(support_i.flat(support_i.state))
+        rep_init = policy.get_representation(params, states)
+        rep_before = policy.get_representation(before_i, states)
+        rep_after = policy.get_representation(after_i, states)
+        im, iv = _per_state_similarity(rep_init, rep_after)
+        am, av = _per_state_similarity(rep_before, rep_after)
+        buf.append((im, iv, am, av))
 
-        before = params
-        suc_before = suc_after = 0.0
-        for step in range(adapt_steps):
-            ka, k = jax.random.split(ka)
-            support = rollout_fn(before, task, k)
-            if step == 0:
-                suc_before = float(jnp.mean(support.episode_successes()))
-            after = single_adapt_step(algo, policy, before, support, cfg)
-            suc_after = float(jnp.mean(support.episode_successes()))
-
-            states = np.asarray(support.flat(support.state))
-            rep_init = policy.get_representation(params, states)
-            rep_before = policy.get_representation(before, states)
-            rep_after = policy.get_representation(after, states)
-            im, iv = _per_state_similarity(rep_init, rep_after)
-            am, av = _per_state_similarity(rep_before, rep_after)
-            across_steps["init_mean"].append(im)
-            across_steps["init_var"].append(iv)
-            across_steps["adapt_mean"].append(am)
-            across_steps["adapt_var"].append(av)
-            before = after
-
-        performance.append({"success_before": suc_before,
-                            "success_after": suc_after})
-
-        key, kq = jax.random.split(key)
-        query = rollout_fn(before, task, kq)
-        states = query.flat(query.state)
-        sanity_check(lambda p, x: policy.get_representation(p, x), params,
-                     states)
+    def probe_layers(query_i, adapted_i):
+        """Final across-layers CCA probes on the query states."""
+        states = query_i.flat(query_i.state)
         for layer in layers:
             init_rep = policy.get_representation(params, states, layer)
-            adapted_rep = policy.get_representation(before, states, layer)
+            adapted_rep = policy.get_representation(adapted_i, states, layer)
             sims = _similarities(init_rep, adapted_rep, compare)
             for metric, value in sims.items():
                 results[metric][str(layer)].append(float(value))
+
+    if host_env and grouped_roll_factory is not None:
+        from exploring_meta_tpu.rl.host_batched import broadcast_params
+        grouped = grouped_roll_factory(n_tasks)
+        inner = jax.jit(jax.vmap(
+            lambda p, t: single_adapt_step(algo, policy, p, t, cfg)))
+        task_at = lambda tree, i: jax.tree_util.tree_map(
+            lambda x: x[i], tree)
+
+        cur = broadcast_params(params, n_tasks)
+        step_bufs = [[] for _ in range(n_tasks)]
+        suc_before = [0.0] * n_tasks
+        suc_after = [0.0] * n_tasks
+        for step in range(adapt_steps):
+            key, k = jax.random.split(key)
+            support = grouped(cur, tasks, k)
+            after = inner(cur, support)
+            for i in range(n_tasks):
+                sup_i = task_at(support, i)
+                suc = float(jnp.mean(sup_i.episode_successes()))
+                if step == 0:
+                    suc_before[i] = suc
+                suc_after[i] = suc
+                probe_step(i, sup_i, task_at(cur, i), task_at(after, i),
+                           step_bufs[i])
+            cur = after
+
+        key, kq = jax.random.split(key)
+        query = grouped(cur, tasks, kq)
+        sanity_check(lambda p, x: policy.get_representation(p, x), params,
+                     np.asarray(task_at(query, 0).flat(
+                         task_at(query, 0).state)))
+        for i in range(n_tasks):  # flatten probes task-major (artifact
+            for im, iv, am, av in step_bufs[i]:  # parity with the loop)
+                across_steps["init_mean"].append(im)
+                across_steps["init_var"].append(iv)
+                across_steps["adapt_mean"].append(am)
+                across_steps["adapt_var"].append(av)
+            performance.append({"success_before": suc_before[i],
+                                "success_after": suc_after[i]})
+            probe_layers(task_at(query, i), task_at(cur, i))
+    else:
+        for i in range(n_tasks):
+            key, ka, kq = jax.random.split(key, 3)
+            task = tasks[i] if isinstance(tasks, list) else \
+                jax.tree_util.tree_map(lambda x: x[i], tasks)
+
+            before = params
+            suc_before = suc_after = 0.0
+            buf: list = []
+            for step in range(adapt_steps):
+                ka, k = jax.random.split(ka)
+                support = rollout_fn(before, task, k)
+                if step == 0:
+                    suc_before = float(jnp.mean(support.episode_successes()))
+                after = single_adapt_step(algo, policy, before, support, cfg)
+                suc_after = float(jnp.mean(support.episode_successes()))
+                probe_step(i, support, before, after, buf)
+                before = after
+
+            for im, iv, am, av in buf:
+                across_steps["init_mean"].append(im)
+                across_steps["init_var"].append(iv)
+                across_steps["adapt_mean"].append(am)
+                across_steps["adapt_var"].append(av)
+            performance.append({"success_before": suc_before,
+                                "success_after": suc_after})
+
+            key, kq = jax.random.split(key)
+            query = rollout_fn(before, task, kq)
+            sanity_check(lambda p, x: policy.get_representation(p, x),
+                         params, query.flat(query.state))
+            probe_layers(query, before)
 
     # average layer change over tasks (reference av_layer_changes)
     av_mean, av_std = {}, {}

@@ -359,3 +359,36 @@ class TestTaskBatchedCollection:
                                     n_tasks=2, algo="trpo")
         assert rew_m.shape == (2, 2)
         assert np.all(np.isfinite(rew_m))
+
+    def test_rep_rl_exp_task_batched(self, tmp_path):
+        """Batched RC experiment: same artifact layout as the sequential
+        path, per-(task,step) probes task-major."""
+        import json, os
+        from exploring_meta_tpu.analysis.rc import run_rep_rl_exp
+        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+        policy, params = self._policies()
+        env = HostVecEnv(lambda: FakeHostEnv(), self.EPISODES)
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=2,
+                          adapt_batch_size=self.EPISODES,
+                          max_path_length=self.HORIZON)
+
+        def factory(n):
+            big = HostVecEnv(lambda: FakeHostEnv(), n * self.EPISODES)
+            return make_grouped_host_rollout(big, policy, self.HORIZON, n,
+                                             self.EPISODES)
+
+        roll = make_host_rollout(env, policy, self.HORIZON)
+        res = run_rep_rl_exp(str(tmp_path), policy, params, env, roll, cfg,
+                             jax.random.key(11),
+                             rep_params={"n_tasks": self.N_TASKS,
+                                         "layers": [1, 2]},
+                             algo="trpo", grouped_roll_factory=factory)
+        # one across-layers CCA per task per layer
+        assert len(res["cca"]["1"]) == self.N_TASKS
+        assert len(res["cca"]["2"]) == self.N_TASKS
+        # (task-major) per-step probes: n_tasks * adapt_steps entries
+        assert len(res["across_steps"]["init_mean"]) == self.N_TASKS * 2
+        extra = json.load(open(os.path.join(str(tmp_path), "rep_exp",
+                                            "rep_extra.json")))
+        assert len(extra["performance"]) == self.N_TASKS
+        assert all(np.isfinite(v) for v in res["cca"]["1"])
