@@ -195,13 +195,14 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
     rew_matrix = np.zeros((n_tasks, n_tasks))
     suc_matrix = np.zeros((n_tasks, n_tasks))
     if host_env and grouped_roll_factory is not None:
-        from exploring_meta_tpu.rl.host_batched import broadcast_params
+        from exploring_meta_tpu.rl.host_batched import (
+            _batched_inner, _batched_query_metrics, broadcast_params,
+        )
         grouped = grouped_roll_factory(n_tasks)
-        traj_metrics = jax.jit(jax.vmap(lambda q: (
-            jnp.sum(q.reward * q.valid) / q.n_episodes,
-            jnp.mean(q.episode_successes()))))
-        inner = jax.jit(jax.vmap(
-            lambda p, t: rl_mod.single_adapt_step(algo, policy, p, t, cfg)))
+        qm = _batched_query_metrics()
+        traj_metrics = lambda q: (lambda m: (m["reward"], m["success"]))(
+            qm(q))
+        inner = _batched_inner(algo, policy, cfg)
 
         # All n adaptations in lockstep, progress recorded per step.
         cur = broadcast_params(params, n_tasks)

@@ -87,15 +87,10 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
     out = {}
     grouped_roll_factory = None
     if task_batch and not is_device:
-        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
-
-        def grouped_roll_factory(n: int):
-            big, _ = make_env(env_name, workers=n * cfg.adapt_batch_size,
-                              seed=seed, test=(not test_on_train),
-                              max_path_length=cfg.max_path_length)
-            return make_grouped_host_rollout(big, policy,
-                                             cfg.max_path_length, n,
-                                             cfg.adapt_batch_size)
+        from exploring_meta_tpu.envs.host import make_grouped_roll_factory
+        # Memoized per n_tasks: the eval/CL/RC sections share one big env.
+        grouped_roll_factory = make_grouped_roll_factory(
+            env_name, policy, cfg, seed, test=(not test_on_train))
 
     if run_eval:
         key, k = jax.random.split(key)

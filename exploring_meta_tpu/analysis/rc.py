@@ -192,10 +192,11 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
                 results[metric][str(layer)].append(float(value))
 
     if host_env and grouped_roll_factory is not None:
-        from exploring_meta_tpu.rl.host_batched import broadcast_params
+        from exploring_meta_tpu.rl.host_batched import (
+            _batched_inner, broadcast_params,
+        )
         grouped = grouped_roll_factory(n_tasks)
-        inner = jax.jit(jax.vmap(
-            lambda p, t: single_adapt_step(algo, policy, p, t, cfg)))
+        inner = _batched_inner(algo, policy, cfg)
         task_at = lambda tree, i: jax.tree_util.tree_map(
             lambda x: x[i], tree)
 

@@ -248,6 +248,33 @@ def make_grouped_host_rollout(vec_env: HostVecEnv, policy, horizon: int,
     return roll
 
 
+def make_grouped_roll_factory(env_name: str, policy, cfg, seed: int,
+                              test: bool = True):
+    """-> ``factory(n_tasks) -> grouped rollout`` for task-batched
+    evaluation/analysis on a named host env (the single construction
+    point shared by ``rl.meta_test`` and ``analysis.eval_rl``).
+
+    Memoized per ``n_tasks``: eval + CL + RC sections reuse one big vec
+    env instead of instantiating ``n * episodes`` physics envs each.
+    ``cfg`` is an ``rl.RLConfig`` (episodes = ``adapt_batch_size``,
+    horizon = ``max_path_length``).
+    """
+    cache: dict = {}
+
+    def factory(n: int):
+        if n not in cache:
+            from exploring_meta_tpu.envs.factory import make_env
+            big, _ = make_env(env_name, workers=n * cfg.adapt_batch_size,
+                              seed=seed, test=test,
+                              max_path_length=cfg.max_path_length)
+            cache[n] = make_grouped_host_rollout(big, policy,
+                                                 cfg.max_path_length, n,
+                                                 cfg.adapt_batch_size)
+        return cache[n]
+
+    return factory
+
+
 def make_host_rollout(vec_env: HostVecEnv, policy, horizon: int):
     """Rollout closure with the device-env signature:
     ``(params, task, key) -> Trajectory``. The action fn is jitted once;

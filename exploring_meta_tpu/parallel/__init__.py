@@ -4,6 +4,7 @@ from exploring_meta_tpu.parallel.mesh import (
     make_task_mesh,
     make_sharded_adam_train_scan,
     make_sharded_meta_step,
+    make_sharded_replay_meta_step,
     make_sharded_train_scan,
     make_sharded_trpo_meta_step,
     make_sharded_trpo_train_scan,
@@ -11,6 +12,6 @@ from exploring_meta_tpu.parallel.mesh import (
 )
 
 __all__ = ["make_task_mesh", "make_sharded_adam_train_scan",
-           "make_sharded_meta_step", "make_sharded_train_scan",
-           "make_sharded_trpo_meta_step", "make_sharded_trpo_train_scan",
-           "shard_task_batch"]
+           "make_sharded_meta_step", "make_sharded_replay_meta_step",
+           "make_sharded_train_scan", "make_sharded_trpo_meta_step",
+           "make_sharded_trpo_train_scan", "shard_task_batch"]

@@ -312,6 +312,39 @@ def make_sharded_trpo_train_scan(env, policy, rollout_fn, cfg, trpo_cfg,
     return train
 
 
+def make_sharded_replay_meta_step(policy, cfg, algo: str, optimizer,
+                                  mesh: Mesh, axis: str = "tasks"):
+    """Task-DP Adam outer step over recorded replays (host envs): each
+    chip re-derives the differentiable PPO/VPG query losses for its shard
+    of the replay buffer (rl/replay_meta.py), gradients are ``pmean``-
+    reduced over ICI, and every chip applies the identical optimizer
+    update to its replicated params — the mesh form of the host Adam
+    outer step (reference ``rl/maml_ppo.py:128-130``).
+
+    ``(params, opt_state, stacked_replays) -> (params, opt_state, loss)``
+    with replays sharded on their leading task axis.
+    """
+    from exploring_meta_tpu.rl.replay_meta import make_replay_meta_loss
+
+    meta_loss = make_replay_meta_loss(algo, policy, cfg)
+
+    def local_step(params, opt_state, replays):
+        loss, grads = jax.value_and_grad(meta_loss)(params, replays)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_adam_train_scan(env, policy, rollout_fn, cfg, optimizer,
                                  algo: str, meta_batch_size: int,
                                  n_steps: int, mesh: Mesh,

@@ -129,24 +129,23 @@ def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
     if device_env:
         rewards, successes = jax.vmap(eval_one)(tasks, keys)
     elif task_batch:
-        # Adapt all tasks in lockstep, then one batched measurement
-        # rollout with the per-task adapted policies — the same
-        # adapt-then-fresh-rollout contract as eval_one, collected with
-        # n_tasks-fold fewer per-step round-trips.
-        from exploring_meta_tpu.rl.host_batched import collect_task_batched
+        # Adapt all tasks in lockstep (adapt-only: evaluation does not
+        # need fast_adapt's internal query loss), then one batched
+        # measurement rollout with the per-task adapted policies — the
+        # adapt-then-fresh-rollout contract of eval_one with n_tasks-fold
+        # fewer per-step round-trips AND one fewer rollout phase.
+        from exploring_meta_tpu.rl.host_batched import (
+            _batched_query_metrics, adapt_task_batched,
+        )
         if grouped_roll_factory is None:
             raise ValueError("task_batch=True needs grouped_roll_factory")
         grouped = grouped_roll_factory(n_tasks)
         key, ck = jax.random.split(key)
-        adapted, _, _ = collect_task_batched(algo, policy, params, grouped,
-                                             tasks, ck, cfg)
+        adapted, _, ck = adapt_task_batched(algo, policy, params, grouped,
+                                            tasks, ck, cfg)
         query = grouped(adapted, tasks, jax.random.fold_in(ck, 1))
-
-        def task_metrics(q):
-            rew = jnp.sum(q.reward * q.valid) / q.n_episodes
-            return rew, jnp.mean(q.episode_successes())
-
-        rewards, successes = jax.jit(jax.vmap(task_metrics))(query)
+        ms = _batched_query_metrics()(query)
+        rewards, successes = ms["reward"], ms["success"]
     else:
         pairs = [eval_one(task, k) for task, k in zip(tasks, keys)]
         rewards = jnp.stack([p[0] for p in pairs])
@@ -197,16 +196,10 @@ def meta_test(algo: str, env_name: str, policy, params, cfg: RLConfig,
                             episodes=cfg.adapt_batch_size,
                             horizon=cfg.max_path_length)
     elif task_batch:
-        from exploring_meta_tpu.envs.host import make_grouped_host_rollout
+        from exploring_meta_tpu.envs.host import make_grouped_roll_factory
         roll = None  # evaluation goes through the grouped rollout
-
-        def grouped_roll_factory(n: int):
-            big, _ = make_env(env_name, workers=n * cfg.adapt_batch_size,
-                              seed=seed, test=(not test_on_train),
-                              max_path_length=cfg.max_path_length)
-            return make_grouped_host_rollout(big, policy,
-                                             cfg.max_path_length, n,
-                                             cfg.adapt_batch_size)
+        grouped_roll_factory = make_grouped_roll_factory(
+            env_name, policy, cfg, seed, test=(not test_on_train))
     else:
         from exploring_meta_tpu.envs.host import make_host_rollout
         roll = make_host_rollout(env, policy, cfg.max_path_length)

@@ -19,6 +19,7 @@ for TRPO, ``make_replay_meta_loss`` for PPO/VPG.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -33,6 +34,45 @@ def broadcast_params(params, n_tasks: int):
     """Stack the shared init over a leading [n_tasks] axis."""
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_tasks,) + x.shape), params)
+
+
+# jit wrappers are cached on (algo, policy, cfg) — policy/cfg are hashable
+# NamedTuples — so per-iteration calls reuse the compiled programs instead
+# of re-tracing (a fresh jax.jit object per call would never hit the
+# compile cache; remote XLA compiles cost seconds to minutes here).
+
+@functools.lru_cache(maxsize=64)
+def _batched_inner(algo: str, policy, cfg: RLConfig):
+    return jax.jit(jax.vmap(
+        lambda p, t: single_adapt_step(algo, policy, p, t, cfg)))
+
+
+@functools.lru_cache(maxsize=1)
+def _batched_query_metrics():
+    return jax.jit(jax.vmap(_query_metrics))
+
+
+def adapt_task_batched(algo: str, policy, params, grouped_roll: Callable,
+                       tasks, key, cfg: RLConfig):
+    """Adapt-only lockstep pass: ``cfg.adapt_steps`` batched support
+    rollouts with vmapped per-task inner updates in between — no query
+    rollout. -> ``(adapted_params_stack, support_replays, keys_left)``
+    where ``support_replays`` has leading ``[n_tasks, adapt_steps]`` axes.
+    Used by evaluation, which measures its own fresh rollout afterwards.
+    """
+    n_tasks = len(tasks)
+    cur = broadcast_params(params, n_tasks)
+    inner = _batched_inner(algo, policy, cfg)
+
+    replay = []
+    for _ in range(cfg.adapt_steps):
+        key, k = jax.random.split(key)
+        support = grouped_roll(cur, tasks, k)
+        replay.append(support)
+        cur = inner(cur, support)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=1),
+                                     *replay)
+    return cur, stacked, key
 
 
 def collect_task_batched(algo: str, policy, params,
@@ -50,8 +90,7 @@ def collect_task_batched(algo: str, policy, params,
     """
     n_tasks = len(tasks)
     cur = broadcast_params(params, n_tasks)
-    inner = jax.jit(jax.vmap(
-        lambda p, t: single_adapt_step(algo, policy, p, t, cfg)))
+    inner = _batched_inner(algo, policy, cfg)
 
     replay = []
     for _ in range(cfg.adapt_steps):
@@ -67,7 +106,7 @@ def collect_task_batched(algo: str, policy, params,
     # [n_tasks, adapt_steps+1, T, E, ...]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=1),
                                      *replay)
-    ms = jax.jit(jax.vmap(_query_metrics))(query)
+    ms = _batched_query_metrics()(query)
     metrics = {"reward": float(jnp.mean(ms["reward"])),
                "success": float(jnp.mean(ms["success"]))}
     return cur, stacked, metrics

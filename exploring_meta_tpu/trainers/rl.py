@@ -339,6 +339,36 @@ class RLTrainer(Experiment):
 
         return iteration
 
+    # -- Adam replay outer step (host envs), optionally mesh-sharded --------
+
+    def _make_adam_replay_outer(self, policy, rl_cfg, opt):
+        """``(params, opt_state, stacked_replays) -> (params, opt_state,
+        loss)``; with --mesh N the replays are task-sharded and gradients
+        pmean-reduced over ICI (parallel.make_sharded_replay_meta_step)."""
+        cfg = self.cfg
+        if getattr(cfg, "mesh", 1) > 1:
+            from exploring_meta_tpu import parallel
+            mesh = parallel.make_task_mesh(cfg.mesh)
+            sharded = parallel.make_sharded_replay_meta_step(
+                policy, rl_cfg, self.algo, opt, mesh)
+
+            def outer(params, opt_state, stacked_replays):
+                s_rep = parallel.shard_task_batch(mesh, stacked_replays)
+                return sharded(params, opt_state, s_rep)
+
+            return outer
+
+        meta_loss = make_replay_meta_loss(self.algo, policy, rl_cfg)
+
+        @jax.jit
+        def outer(params, opt_state, stacked_replays):
+            loss, grads = jax.value_and_grad(meta_loss)(params,
+                                                        stacked_replays)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return outer
+
     # -- task-batched host collection (--task_batch): one big vec env -------
 
     def _make_host_batched_iteration(self, env, policy, roll, rl_cfg):
@@ -356,14 +386,7 @@ class RLTrainer(Experiment):
             meta_step = self._make_trpo_meta_step(policy, rl_cfg)
         else:
             opt = optax.adam(cfg.outer_lr)
-            meta_loss = make_replay_meta_loss(algo, policy, rl_cfg)
-
-            @jax.jit
-            def outer(params, opt_state, stacked_replays):
-                loss, grads = jax.value_and_grad(meta_loss)(params,
-                                                            stacked_replays)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                return optax.apply_updates(params, updates), opt_state, loss
+            outer = self._make_adam_replay_outer(policy, rl_cfg, opt)
 
         def iteration(params, opt_state, key):
             key, tk, ck = jax.random.split(key, 3)
@@ -399,14 +422,7 @@ class RLTrainer(Experiment):
     def _make_host_adam_iteration(self, env, policy, roll, rl_cfg):
         cfg = self.cfg
         opt = optax.adam(cfg.outer_lr)
-        meta_loss = make_replay_meta_loss(self.algo, policy, rl_cfg)
-
-        @jax.jit
-        def outer(params, opt_state, stacked_replays):
-            loss, grads = jax.value_and_grad(meta_loss)(params,
-                                                        stacked_replays)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        outer = self._make_adam_replay_outer(policy, rl_cfg, opt)
 
         def iteration(params, opt_state, key):
             if opt_state is None:
@@ -441,6 +457,29 @@ class RLTrainer(Experiment):
         cfg = self.cfg
         opt = optax.adam(cfg.outer_lr)
         algo = self.algo
+
+        if getattr(cfg, "mesh", 1) > 1:
+            # Non-fused --mesh N device Adam: one sharded iteration per
+            # dispatch (the n_steps=1 case of the fused sharded scan).
+            from exploring_meta_tpu import parallel
+            mesh = parallel.make_task_mesh(cfg.mesh)
+            scan1 = parallel.make_sharded_adam_train_scan(
+                env, policy, roll, rl_cfg, opt, algo,
+                cfg.meta_batch_size, 1, mesh)
+
+            def iteration(params, opt_state, key):
+                if opt_state is None:
+                    opt_state = opt.init(params)
+                with self._ph("meta_step") as sync:
+                    params, opt_state, ms = scan1(params, opt_state, key)
+                    sync.append(params)
+                return params, opt_state, {
+                    "meta_loss": float(ms["meta_loss"][0]),
+                    "adapt_reward": float(ms["adapt_reward"][0]),
+                    "adapt_success": float(ms["adapt_success"][0]),
+                }
+
+            return iteration
 
         @jax.jit
         def meta_step(params, opt_state, tasks_batch, keys):

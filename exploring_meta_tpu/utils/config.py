@@ -111,7 +111,8 @@ class RLScriptConfig:
     fc_neurons: int = 100        # ANIL policy head width (reference anil_trpo.py:23)
     workers: int = 1             # host-env episode slots (reference workers toggle)
     use_wandb: bool = False
-    mesh: int = 1                # devices for task-DP sharding (TRPO outer step)
+    mesh: int = 1                # devices for task-DP sharding of the outer
+                                 # step (TRPO CG/line-search AND Adam paths)
     profile: bool = False        # per-phase timing -> phase_times.json
     fuse: int = 1                # iterations fused per XLA program (device envs)
     task_batch: bool = False     # host envs: collect the whole meta-batch

@@ -279,3 +279,64 @@ def test_vision_trainer_mesh_plus_fuse(tmp_path, monkeypatch,
     for key in ("train_loss", "train_acc", "valid_loss", "valid_acc"):
         assert len(t.metrics[key]) == 4
     assert 0.0 <= acc <= 1.0
+
+
+def test_sharded_replay_meta_step_matches_single_device(eight_devices):
+    """Mesh Adam outer step over recorded replays == single-device
+    value_and_grad + update on the same replays."""
+    import optax
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    env = Particles2D()
+    policy = DiagNormalPolicy(input_size=2, output_size=2, hiddens=(16, 16))
+    params = policy.init(jax.random.key(0))
+    cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=4,
+                      max_path_length=10, ppo_epochs=2)
+    roll = rl.make_rollout(env, policy.sample, episodes=4, horizon=10)
+
+    key = jax.random.key(2)
+    replays = []
+    for i in range(8):
+        key, kt, kc = jax.random.split(key, 3)
+        task = env.sample_tasks(kt, 1)[0]
+        stacked, _ = rl.collect_replays("ppo", policy, params, roll, task,
+                                        kc, cfg)
+        replays.append(stacked)
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *replays)
+
+    opt = optax.adam(1e-3)
+    meta_loss = rl.make_replay_meta_loss("ppo", policy, cfg)
+    loss_ref, grads = jax.value_and_grad(meta_loss)(params, batched)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    mesh = parallel.make_task_mesh(8)
+    step = parallel.make_sharded_replay_meta_step(policy, cfg, "ppo", opt,
+                                                  mesh)
+    s_rep = parallel.shard_task_batch(mesh, batched)
+    p_sh, _, loss_sh = step(params, opt.init(params), s_rep)
+
+    assert float(loss_ref) == pytest.approx(float(loss_sh), abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_rl_trainer_mesh_nonfused_adam(tmp_path, eight_devices):
+    """--mesh 4 without --fuse on a device-env PPO run: the outer step is
+    mesh-sharded (previously --mesh was silently ignored here)."""
+    from exploring_meta_tpu.trainers.rl import RLTrainer
+    from exploring_meta_tpu.utils.config import RLScriptConfig
+
+    cfg = RLScriptConfig(env="Particles2D-v1", num_iterations=3,
+                         meta_batch_size=4, adapt_batch_size=2,
+                         max_path_length=10, save_every=2, n_eval_tasks=2,
+                         seed=0, mesh=4)
+    trainer = RLTrainer(cfg, algo="ppo", path=str(tmp_path) + "/")
+    final = trainer.run()
+    assert np.isfinite(final["mean_reward"])
+    assert len(trainer.metrics["meta_loss"]) == 3
