@@ -347,9 +347,12 @@ def _measure_vision(anil: bool) -> float:
     from exploring_meta_tpu import adapt, models, tasks
     from exploring_meta_tpu.models.layers import set_precision
 
-    # bf16 single-pass MXU: ~1.6x faster and accuracy-gated — trains to
-    # 0.9992 meta-test accuracy vs torch's 0.9984 on the parity check
-    # (scripts/parity_check.py; see BASELINE.md).
+    # Mixed precision, both accuracy-gated on scripts/parity_check.py:
+    # bf16 MXU passes (set_precision) train to 0.9992 vs torch 0.9984, and
+    # the full bf16 compute graph w/ f32 master params (cast_compute,
+    # trainer --bf16) to 1.0000 vs 0.9984 — the meta-step is HBM-
+    # bandwidth-bound, so halving activation bytes is the big lever
+    # (BASELINE.md roofline note).
     set_precision("default")
 
     if anil:
@@ -363,6 +366,7 @@ def _measure_vision(anil: bool) -> float:
     fast_adapt = adapt.make_vision_fast_adapt(
         spec, inner_lr=0.5, adapt_steps=ADAPT_STEPS, shots=SHOTS, ways=WAYS,
         anil=anil)
+    fast_adapt = adapt.cast_compute(fast_adapt)
     opt = optax.adam(3e-3)
     opt_state = opt.init(params)
 

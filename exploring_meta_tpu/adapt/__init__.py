@@ -1,6 +1,7 @@
 """MAML/ANIL adaptation engine."""
 
 from exploring_meta_tpu.adapt.maml import (
+    cast_compute,
     inner_sgd,
     make_fast_adapt,
     make_meta_step,
@@ -13,7 +14,7 @@ from exploring_meta_tpu.adapt.maml import (
 from exploring_meta_tpu.adapt.vision import make_vision_fast_adapt
 
 __all__ = [
-    "inner_sgd", "make_fast_adapt", "make_meta_step", "make_train_scan",
+    "cast_compute", "inner_sgd", "make_fast_adapt", "make_meta_step", "make_train_scan",
     "make_meta_eval",
     "head_only_mask", "tree_where", "TaskResult", "make_vision_fast_adapt",
 ]

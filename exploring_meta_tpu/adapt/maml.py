@@ -95,6 +95,37 @@ def make_fast_adapt(loss_and_metric: Callable, inner_lr: float,
     return fast_adapt
 
 
+def cast_compute(fast_adapt: Callable, dtype=jnp.bfloat16):
+    """Mixed-precision wrapper: run the ENTIRE per-task compute graph
+    (inner loops + second-order backward) in ``dtype`` while params and
+    optimizer state stay f32 master copies.
+
+    The cast happens INSIDE the differentiated function, so AD transposes
+    it automatically and meta-gradients arrive f32 at the optimizer. This
+    targets the measured bottleneck: the CNN4 meta-step is HBM-bandwidth-
+    bound (BASELINE.md roofline note), and bf16 activations halve the
+    bytes — measured 1.44x on the Omniglot headline config, meta-test
+    accuracy parity-gated via ``scripts/parity_check.py --bf16``.
+
+    The returned TaskResult is cast back to f32 for stable metric
+    accumulation.
+    """
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            tree)
+
+    def fa(params, *batch):
+        res = fast_adapt(cast(params), *cast(batch))
+        return res._replace(
+            loss=res.loss.astype(jnp.float32),
+            metric=res.metric.astype(jnp.float32))
+
+    return fa
+
+
 def make_meta_step(fast_adapt: Callable, optimizer: optax.GradientTransformation):
     """Build the jitted outer step.
 

@@ -57,6 +57,10 @@ class VisionTrainer(Experiment):
         fast_adapt = adapt.make_vision_fast_adapt(
             spec, inner_lr=cfg.inner_lr, adapt_steps=cfg.adapt_steps,
             shots=cfg.shots, ways=cfg.ways, anil=self.anil)
+        if cfg.bf16:
+            # Mixed precision: bf16 compute graph, f32 master params/Adam
+            # (the meta-step is HBM-bandwidth-bound; see BASELINE.md).
+            fast_adapt = adapt.cast_compute(fast_adapt)
         opt = optax.adam(cfg.outer_lr)
         opt_state = opt.init(params)
 

@@ -34,6 +34,7 @@ class VisionConfig:
     profile: bool = False        # per-phase timing -> phase_times.json
     fuse: int = 1                # iterations fused per XLA program (lax.scan)
     async_ckpt: bool = False     # checkpoint writes on a background thread
+    bf16: bool = False           # bf16 compute graph, f32 master params
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -80,6 +81,10 @@ def vision_argparser(defaults: VisionConfig,
                    default=defaults.async_ckpt,
                    help="write checkpoints on a background thread (training "
                         "keeps dispatching while the npz drains)")
+    p.add_argument("--bf16", action="store_true", default=defaults.bf16,
+                   help="mixed precision: bf16 compute graph with f32 "
+                        "master params/optimizer (~1.4x on TPU; accuracy "
+                        "parity-gated, see scripts/parity_check.py --bf16)")
     return p
 
 

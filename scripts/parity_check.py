@@ -125,7 +125,7 @@ def run_torch(images_train, images_test, iters, meta_batch, inner_lr,
 
 
 def run_jax(train_ds, test_ds, iters, meta_batch, inner_lr, outer_lr,
-            adapt_steps, eval_tasks, seed):
+            adapt_steps, eval_tasks, seed, bf16=False):
     import jax
     import optax
     from exploring_meta_tpu import adapt, models, tasks
@@ -136,6 +136,8 @@ def run_jax(train_ds, test_ds, iters, meta_batch, inner_lr, outer_lr,
     params = models.init_cnn4(ik, spec)
     fa = adapt.make_vision_fast_adapt(spec, inner_lr, adapt_steps, SHOTS,
                                       WAYS)
+    if bf16:  # mixed precision: bf16 compute graph, f32 master params
+        fa = adapt.cast_compute(fa)
     opt = optax.adam(outer_lr)
     step = adapt.make_meta_step(fa, opt)
     ev = adapt.make_meta_eval(fa)
@@ -161,6 +163,8 @@ def main():
     p.add_argument("--adapt_steps", type=int, default=1)
     p.add_argument("--eval_tasks", type=int, default=256)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--bf16", action="store_true",
+                   help="gate the bf16-compute mode (trainer --bf16)")
     args = p.parse_args()
 
     from exploring_meta_tpu import tasks
@@ -171,7 +175,7 @@ def main():
 
     jax_acc = run_jax(train_ds, test_ds, args.iters, args.meta_batch,
                       args.inner_lr, args.outer_lr, args.adapt_steps,
-                      args.eval_tasks, args.seed)
+                      args.eval_tasks, args.seed, bf16=args.bf16)
     print(f"jax meta-test acc: {jax_acc:.4f}", flush=True)
 
     torch_acc = run_torch(imgs_train, imgs_test, args.iters,

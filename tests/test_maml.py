@@ -349,3 +349,59 @@ class TestResume:
 
 
 import os  # noqa: E402
+
+
+class TestCastCompute:
+    """Mixed-precision wrapper (adapt.cast_compute): bf16 compute graph,
+    f32 master params."""
+
+    def _setup(self):
+        from exploring_meta_tpu import adapt, models, tasks
+        train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                          synthetic_classes=20)
+        spec = models.omniglot_spec(ways=5, hidden=8, layers=2)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.4, adapt_steps=1,
+                                          shots=1, ways=5)
+        data, labels = tasks.sample_task_batch(jax.random.key(3), train,
+                                               5, 1, 4)
+        return adapt, params, fa, data, labels
+
+    def test_grads_f32_and_close_to_full_precision(self):
+        adapt, params, fa, data, labels = self._setup()
+        fa16 = adapt.cast_compute(fa)
+
+        def loss(p, f):
+            r = jax.vmap(lambda d, l: f(p, d, l))(data, labels)
+            return jnp.mean(r.loss)
+
+        g32 = jax.grad(lambda p: loss(p, fa))(params)
+        g16 = jax.grad(lambda p: loss(p, fa16))(params)
+        # master-weight contract: meta-gradients arrive f32
+        for leaf in jax.tree_util.tree_leaves(g16):
+            assert leaf.dtype == jnp.float32
+        # Mixed-precision gradients are never bitwise-close to f32 ones
+        # through a 2nd-order graph; the contract is (a) finite/nonzero,
+        # (b) aligned with the f32 descent direction. End-task accuracy is
+        # the real gate (scripts/parity_check.py --bf16: 1.0000 vs torch
+        # 0.9984, diff 0.16% — within the 0.5% target).
+        flat32 = jnp.concatenate([l.ravel() for l in
+                                  jax.tree_util.tree_leaves(g32)])
+        flat16 = jnp.concatenate([l.ravel() for l in
+                                  jax.tree_util.tree_leaves(g16)])
+        n16 = float(jnp.linalg.norm(flat16))
+        assert np.isfinite(n16) and n16 > 0
+        cos = float(flat32 @ flat16) / (
+            float(jnp.linalg.norm(flat32)) * n16 + 1e-12)
+        assert cos > 0.3, f"bf16 grad misaligned with f32 (cos={cos:.3f})"
+
+    def test_trainer_bf16_flag_learns(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from exploring_meta_tpu.trainers import VisionTrainer
+        from exploring_meta_tpu.utils.config import VisionConfig
+
+        cfg = VisionConfig(dataset="omni", num_iterations=20,
+                           meta_batch_size=4, save_every=50, synthetic=True,
+                           bf16=True)
+        acc = VisionTrainer(cfg, anil=False).run()
+        assert acc > 0.3  # well above 5-way chance on synthetic data
