@@ -22,20 +22,28 @@ def make_env(name: str, workers: int = 1, seed: int = 42,
         return Particles2D(), True
 
     if name.startswith("AntDirection"):
+        import itertools
         from exploring_meta_tpu.envs.host import AntDirectionEnv, HostVecEnv
-        return HostVecEnv(lambda: AntDirectionEnv(seed=seed), workers,
-                          backend=backend, n_threads=n_threads), False
+        # Per-slot seed offsets (gym AsyncVectorEnv seeds workers seed+i):
+        # identical seeds would put every episode slot's np_random in
+        # lockstep, collapsing initial-state diversity across the batch.
+        ctr = itertools.count()
+        return HostVecEnv(lambda: AntDirectionEnv(seed=seed + next(ctr)),
+                          workers, backend=backend,
+                          n_threads=n_threads), False
 
     if name.startswith("ML"):
+        import itertools
         from exploring_meta_tpu.envs.host import HostVecEnv
         from exploring_meta_tpu.envs.metaworld_adapter import MetaWorldEnv
         if name.startswith("ML1_"):
             bench, task_name = "ML1", name[4:]
         else:
             bench, task_name = name, None
+        ctr = itertools.count()
         return HostVecEnv(
-            lambda: MetaWorldEnv(bench, task_name, seed=seed, test=test,
-                                 max_path_length=max_path_length),
+            lambda: MetaWorldEnv(bench, task_name, seed=seed + next(ctr),
+                                 test=test, max_path_length=max_path_length),
             workers, backend=backend, n_threads=n_threads), False
 
     raise ValueError(f"unknown environment {name!r}")

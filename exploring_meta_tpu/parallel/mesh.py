@@ -30,6 +30,11 @@ def make_task_mesh(n_devices: int | None = None, axis: str = "tasks") -> Mesh:
     import numpy as np
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        # Never truncate silently: a --mesh larger than the machine would
+        # otherwise shrink the effective meta-batch with no warning.
+        raise ValueError(f"requested a {n}-device mesh but only "
+                         f"{len(devs)} devices are available")
     return Mesh(np.array(devs[:n]), (axis,))
 
 

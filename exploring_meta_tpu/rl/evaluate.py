@@ -95,6 +95,11 @@ def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
     the reference divides by ``params['n_tasks']`` even under ``each3``
     where the list is longer (rl.py:191), which we treat as a bug.
     """
+    if device_env and (each3 or isinstance(n_tasks, str)):
+        raise ValueError(
+            "each3 / explicit-task selection needs dict tasks with a "
+            "'task' id (Meta-World-style host envs); this env samples "
+            "plain array tasks")
     key, tk = jax.random.split(key)
     if each3:
         tasks = sample_3_from_each_task(env, tk)

@@ -62,6 +62,7 @@ class RLTrainer(Experiment):
         self.anil = anil
         self._timer = PhaseTimer() if cfg.profile else None
         self._fused_params = None
+        self._fused_iteration = 0
 
     def _ph(self, name: str):
         """Profiling phase context (no-op list sink when profiling is off)."""
@@ -147,9 +148,13 @@ class RLTrainer(Experiment):
         except KeyboardInterrupt:
             print("\nManually stopped training! Start evaluation & saving...\n")
             self.logger["manually_stopped"] = True
+            if use_fused:
+                # the helper tracks completed-chunk progress on self; the
+                # local `iteration` is only set on normal return
+                iteration = self._fused_iteration
+                if self._fused_params is not None:
+                    params = self._fused_params
             self.params["num_iterations"] = iteration
-            if use_fused and self._fused_params is not None:
-                params = self._fused_params
 
         self.flush_checkpoints()
         self.save_model(params)
@@ -236,6 +241,7 @@ class RLTrainer(Experiment):
                                   for name, v in ms.items()})
             it += n
             iteration = it - 1
+            self._fused_iteration = iteration
             t.update(n)
             t.set_postfix({name: float(v[-1]) for name, v in ms.items()})
             if (it // cfg.save_every) > ((it - n) // cfg.save_every):

@@ -105,7 +105,8 @@ def plot_sim_across_layers_average(mean_per_layer: dict,
                                    save_path: str | None = None) -> None:
     """Per-layer representation-similarity means with stdev errorbars
     (reference rc_rl.py:374-391 ``plot_sim_across_layers_average``)."""
-    layers = sorted(mean_per_layer, reverse=True)
+    # keys arrive as str(layer) — sort numerically ("10" after "2")
+    layers = sorted(mean_per_layer, key=lambda k: int(k), reverse=True)
     means = [mean_per_layer[l] for l in layers]
     errs = [std_per_layer.get(l, 0.0) for l in layers]
     fig, ax = plt.subplots()

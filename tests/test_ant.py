@@ -123,3 +123,14 @@ def test_ant_anil_ppo_end_to_end(tmp_path):
     assert len(out["cca_through_time"]) == 1  # 2 checkpoints -> 1 pair
     assert os.path.exists(os.path.join(trainer.model_path,
                                        "cca_through_time.json"))
+
+
+def test_ant_vec_env_slots_have_distinct_initial_states():
+    """Regression: identical per-slot seeds put every episode's np_random
+    in lockstep, collapsing initial-state diversity (MuJoCo reset noise).
+    make_env must seed slots seed+i (gym AsyncVectorEnv semantics)."""
+    env, is_device = make_env("AntDirection-v1", workers=3, seed=0)
+    assert not is_device
+    obs = [e.reset() for e in env.envs]
+    assert not np.allclose(obs[0], obs[1])
+    assert not np.allclose(obs[1], obs[2])

@@ -340,3 +340,10 @@ def test_rl_trainer_mesh_nonfused_adam(tmp_path, eight_devices):
     final = trainer.run()
     assert np.isfinite(final["mean_reward"])
     assert len(trainer.metrics["meta_loss"]) == 3
+
+
+def test_make_task_mesh_rejects_oversized_request(eight_devices):
+    """--mesh larger than the machine must error, not silently truncate
+    (which would shrink the fused path's effective meta-batch)."""
+    with pytest.raises(ValueError, match="devices are available"):
+        parallel.make_task_mesh(len(jax.devices()) + 1)

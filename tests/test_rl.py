@@ -264,3 +264,24 @@ class TestEndToEndRL:
         after = rl.evaluate("ppo", policy, params, env, roll, cfg,
                             n_tasks=10, key=jax.random.key(7))
         assert after["mean_reward"] > before["mean_reward"]
+
+
+def test_evaluate_each3_rejects_device_envs():
+    """each3/explicit-task selection needs dict tasks; device envs must
+    get a clear error instead of a t['task'] TypeError."""
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    env = Particles2D()
+    policy = DiagNormalPolicy(input_size=2, output_size=2, hiddens=(8, 8))
+    params = policy.init(jax.random.key(0))
+    cfg = rl.RLConfig(adapt_steps=1, adapt_batch_size=2, max_path_length=4)
+    roll = rl.make_rollout(env, policy.sample, episodes=2, horizon=4)
+    with pytest.raises(ValueError, match="dict tasks"):
+        rl.evaluate("vpg", policy, params, env, roll, cfg, n_tasks=2,
+                    key=jax.random.key(1), device_env=True, each3=True)
+    with pytest.raises(ValueError, match="dict tasks"):
+        rl.evaluate("vpg", policy, params, env, roll, cfg,
+                    n_tasks="door-close", key=jax.random.key(1),
+                    device_env=True)
