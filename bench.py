@@ -460,8 +460,11 @@ def _measure_host_rollout(backend: str) -> float:
     )
     from exploring_meta_tpu.models import DiagNormalPolicy
 
+    import itertools
     E, H = 20, 150
-    env = HostVecEnv(lambda: AntDirectionEnv(seed=0), E, backend=backend)
+    ctr = itertools.count()  # per-slot seeds (cf. envs/factory.py)
+    env = HostVecEnv(lambda: AntDirectionEnv(seed=next(ctr)), E,
+                     backend=backend)
     policy = DiagNormalPolicy(input_size=env.obs_size,
                               output_size=env.action_size)
     params = policy.init(jax.random.key(0))
@@ -504,8 +507,11 @@ def _measure_host_collect(task_batched: bool) -> float:
                       max_path_length=H, ppo_epochs=1)
     steps_per_pass = TASKS * EPS * H * (cfg.adapt_steps + 1)
 
+    import itertools
     if task_batched:
-        env = HostVecEnv(lambda: AntDirectionEnv(seed=0), TASKS * EPS)
+        ctr = itertools.count()
+        env = HostVecEnv(lambda: AntDirectionEnv(seed=next(ctr)),
+                         TASKS * EPS)
         policy = DiagNormalPolicy(input_size=env.obs_size,
                                   output_size=env.action_size)
         params = policy.init(jax.random.key(0))
@@ -517,7 +523,8 @@ def _measure_host_collect(task_batched: bool) -> float:
                                                     roll, tasks, key, cfg)
             return replays
     else:
-        env = HostVecEnv(lambda: AntDirectionEnv(seed=0), EPS)
+        ctr = itertools.count()
+        env = HostVecEnv(lambda: AntDirectionEnv(seed=next(ctr)), EPS)
         policy = DiagNormalPolicy(input_size=env.obs_size,
                                   output_size=env.action_size)
         params = policy.init(jax.random.key(0))

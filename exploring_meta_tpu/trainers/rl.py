@@ -228,25 +228,31 @@ class RLTrainer(Experiment):
                 return p, opt_state, ms
             return scans[n](params, opt_state, k)
 
-        it, iteration = 0, 0
-        while it < cfg.num_iterations:
-            n = min(cfg.fuse, cfg.num_iterations - it)
-            key, k = jax.random.split(key)
+        from exploring_meta_tpu.trainers.fused import drive_fused_chunks
+
+        def chunk(n, state, k):
+            p, o = state
             with self._ph("train_chunk") as sync:
-                params, opt_state, ms = run_chunk(n, params, opt_state, k)
+                p, o, ms = run_chunk(n, p, o, k)
                 sync.append(ms)
-            self._fused_params = params
-            for j in range(n):
-                self.log_metrics({name: float(v[j])
-                                  for name, v in ms.items()})
-            it += n
-            iteration = it - 1
+            return (p, o), ms
+
+        def on_chunk(state, iteration):
+            self._fused_params = state[0]
             self._fused_iteration = iteration
-            t.update(n)
-            t.set_postfix({name: float(v[-1]) for name, v in ms.items()})
-            if (it // cfg.save_every) > ((it - n) // cfg.save_every):
-                self.save_model_checkpoint(params, iteration, rng_key=key,
-                                           async_write=cfg.async_ckpt)
+
+        (params, opt_state), iteration, _ = drive_fused_chunks(
+            total=cfg.num_iterations, fuse=cfg.fuse,
+            save_every=cfg.save_every, key=key, state=(params, opt_state),
+            run_chunk=chunk,
+            log_step=lambda ms, j: self.log_metrics(
+                {name: float(v[j]) for name, v in ms.items()}),
+            postfix=lambda ms: {name: float(v[-1])
+                                for name, v in ms.items()},
+            save_ckpt=lambda state, i, k: self.save_model_checkpoint(
+                state[0], i, rng_key=k, async_write=cfg.async_ckpt),
+            progress=t, on_chunk=on_chunk)
+        self._fused_params = params
         return iteration
 
     # -- TRPO outer step ---------------------------------------------------

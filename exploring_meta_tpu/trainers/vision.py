@@ -130,32 +130,39 @@ class VisionTrainer(Experiment):
                     return scans[n](params, opt_state, k,
                                     train_ds.images, valid_ds.images)
 
-                it = start_iteration
-                while it < cfg.num_iterations:
-                    n = min(cfg.fuse, cfg.num_iterations - it)
-                    key, k = jax.random.split(key)
+                from exploring_meta_tpu.trainers.fused import (
+                    drive_fused_chunks,
+                )
+
+                def chunk(n, state, k):
+                    p, o = state
                     with ph("train_chunk") as sync:
-                        params, opt_state, ms = run_chunk(n, params,
-                                                          opt_state, k)
+                        p, o, ms = run_chunk(n, p, o, k)
                         sync.append(ms)
-                    for j in range(n):
-                        self.log_metrics({
-                            "train_loss": float(ms["loss"][j]),
-                            "train_acc": float(ms["metric"][j]),
-                            "valid_loss": float(ms["valid_loss"][j]),
-                            "valid_acc": float(ms["valid_metric"][j]),
-                        })
-                    it += n
-                    iteration = it - 1
-                    t.update(n)
-                    t.set_postfix({
+                    return (p, o), ms
+
+                def track(state, i):
+                    nonlocal params, opt_state, iteration
+                    params, opt_state = state
+                    iteration = i
+
+                (params, opt_state), iteration, key = drive_fused_chunks(
+                    total=cfg.num_iterations, fuse=cfg.fuse,
+                    save_every=cfg.save_every, key=key,
+                    state=(params, opt_state), run_chunk=chunk,
+                    log_step=lambda ms, j: self.log_metrics({
+                        "train_loss": float(ms["loss"][j]),
+                        "train_acc": float(ms["metric"][j]),
+                        "valid_loss": float(ms["valid_loss"][j]),
+                        "valid_acc": float(ms["valid_metric"][j]),
+                    }),
+                    postfix=lambda ms: {
                         "train_acc": float(ms["metric"][-1]),
-                        "valid_acc": float(ms["valid_metric"][-1])})
-                    if (it // cfg.save_every) > ((it - n) // cfg.save_every):
-                        self.save_model_checkpoint(params, iteration,
-                                                   opt_state=opt_state,
-                                                   rng_key=key,
-                                                   async_write=cfg.async_ckpt)
+                        "valid_acc": float(ms["valid_metric"][-1])},
+                    save_ckpt=lambda state, i, k: self.save_model_checkpoint(
+                        state[0], i, opt_state=state[1], rng_key=k,
+                        async_write=cfg.async_ckpt),
+                    progress=t, on_chunk=track, start=start_iteration)
             else:
                 for iteration in t:
                     key, k_tr, k_va = jax.random.split(key, 3)
