@@ -106,7 +106,10 @@ def robust_cca_similarity(acts1, acts2, epsilon: float = 1e-6,
     for trial in range(num_trials):
         try:
             return get_cca_similarity(a1, a2, epsilon=epsilon, threshold=threshold)
-        except Exception:
+        except np.linalg.LinAlgError:
+            # Only numerical failures get the jitter-and-retry treatment
+            # (the reference retries LinAlgError, utils/cca.py:365-413);
+            # misuse like wrong input orientation must surface immediately.
             if trial + 1 == num_trials:
                 raise
             a1 = a1 * 1e-1 + rng.normal(size=a1.shape) * epsilon

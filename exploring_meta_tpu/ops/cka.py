@@ -21,11 +21,16 @@ def _center(gram: jnp.ndarray) -> jnp.ndarray:
 
 def _rbf_gram(x: jnp.ndarray, sigma: float | None = None) -> jnp.ndarray:
     gx = x @ x.T
-    sq_dists = jnp.diag(gx)[:, None] - gx + (jnp.diag(gx)[None, :] - gx.T).T
+    # pairwise squared distances: d_i + d_j - 2*g_ij (the reference's
+    # `diag(GX) - GX + (diag(GX) - GX).T` — its 1-D diag broadcasts as a
+    # ROW, so the two terms differ and sum to the symmetric form)
+    diag = jnp.diag(gx)
+    sq_dists = diag[:, None] + diag[None, :] - 2.0 * gx
     if sigma is None:
-        nonzero = sq_dists[sq_dists != 0]
-        mdist = jnp.median(nonzero) if nonzero.size else jnp.ones(())
-        sigma_sq = mdist
+        # median-heuristic bandwidth over nonzero distances, jit-safe
+        # (boolean-mask indexing would fail under trace)
+        med = jnp.nanmedian(jnp.where(sq_dists > 0, sq_dists, jnp.nan))
+        sigma_sq = jnp.where(jnp.isnan(med), 1.0, med)
     else:
         sigma_sq = jnp.asarray(sigma) ** 2
     return jnp.exp(-0.5 * sq_dists / sigma_sq)

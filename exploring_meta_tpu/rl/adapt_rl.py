@@ -127,11 +127,21 @@ def vpg_a2c_loss(policy, params, traj: Trajectory, cfg: RLConfig,
     adv = traj.flat(adv)[:, None]
     valid = traj.flat(traj.valid)[:, None]
     if dice:
-        dones = traj.flat(traj.done)[:, None]
+        # The DiCE recurrence runs over TIME within each episode: do it on
+        # the [T, E] layout (the flat [T*E] axis interleaves episodes at
+        # each timestep, which would chain log-probs across episodes).
+        # Terminal flags are masked by `valid`: post-termination filler
+        # steps repeat done=1 but are not episode boundaries, and the
+        # reference's replays contain only real steps (its dones.sum() is
+        # the episode count — rl.py:219-222).
+        T, E = traj.reward.shape
+        lp = log_probs.reshape(T, E)
+        dones = traj.done * traj.valid
         weights = jnp.ones_like(dones)
         weights = weights.at[1:].add(-dones[:-1])
-        weights = weights / jnp.sum(dones)
-        log_probs = magic_box(weighted_cumsum(log_probs, weights))
+        weights = weights / jnp.maximum(jnp.sum(dones), 1.0)
+        lp = magic_box(weighted_cumsum(lp, weights))
+        log_probs = lp.reshape(T * E, 1)
     return -masked_mean(log_probs * adv, valid)
 
 
@@ -208,11 +218,16 @@ def fast_adapt_ppo(policy, params, rollout_fn: Callable, task, key,
 # --------------------------------------------------------------------------
 
 def trpo_a2c_loss(policy, params, traj: Trajectory, cfg: RLConfig,
-                  update_vf: bool = True, inner_anil: bool = False):
+                  update_vf: bool = True, inner_anil: bool = False,
+                  baseline_w=None):
     """A2C surrogate with *normalized, detached* advantages (reference
-    ``trpo_a2c_loss`` rl.py:346-358)."""
+    ``trpo_a2c_loss`` rl.py:346-358). ``update_vf=False`` reuses the
+    provided ``baseline_w`` (the reference's shared LinearValue keeps the
+    fit from the last support batch); without one it falls back to
+    fitting on this trajectory."""
     log_probs = _log_prob(policy, params, traj, inner_anil)
-    adv, _ = traj_advantages(traj, cfg, update_vf=update_vf)
+    adv, _ = traj_advantages(traj, cfg, update_vf=update_vf,
+                             baseline_w=baseline_w)
     valid = traj.flat(traj.valid)[:, None]
     adv = jax.lax.stop_gradient(
         masked_normalize(traj.flat(adv), traj.flat(traj.valid)))[:, None]
@@ -265,14 +280,19 @@ def fast_adapt_trpo(policy, params, rollout_fn: Callable, task, key,
     (reference rl/maml_trpo.py:113); the second-order graph is rebuilt by
     the outer step from the stored replay (rl.py:441-473)."""
     replay = []
+    baseline_w = None
     for _ in range(cfg.adapt_steps):
         key, k = jax.random.split(key)
         support = rollout_fn(params, task, k)
         replay.append(support)
         params = trpo_update(policy, params, support, cfg, first_order=True)
+        # capture the support-fitted value baseline: the reference's query
+        # loss reuses it (update_vf=False with its shared LinearValue)
+        _, baseline_w = traj_advantages(support, cfg)
 
     key, k = jax.random.split(key)
     query = rollout_fn(params, task, k)
     replay.append(query)
-    valid_loss = trpo_a2c_loss(policy, params, query, cfg, update_vf=False)
+    valid_loss = trpo_a2c_loss(policy, params, query, cfg, update_vf=False,
+                               baseline_w=baseline_w)
     return params, valid_loss, replay, _query_metrics(query)

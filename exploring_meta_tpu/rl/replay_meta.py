@@ -76,15 +76,15 @@ def make_replay_meta_loss(algo: str, policy, cfg: RLConfig) -> Callable:
     """-> jit-compatible ``meta_loss(params, stacked_replays)`` where
     ``stacked_replays`` has leading [n_tasks, adapt_steps+1] axes."""
 
+    if algo not in ("ppo", "vpg"):
+        raise ValueError(f"make_replay_meta_loss: unsupported algo "
+                         f"{algo!r} (TRPO uses meta_optimize_trpo)")
+    fast_adapt = {"ppo": fast_adapt_ppo, "vpg": fast_adapt_vpg}[algo]
+
     def per_task_loss(params, task_replays):
         feeder = replay_feeder(task_replays)
-        dummy_key = jax.random.key(0)
-        if algo == "ppo":
-            _, loss, _ = fast_adapt_ppo(policy, params, feeder, None,
-                                        dummy_key, cfg)
-        else:
-            _, loss, _ = fast_adapt_vpg(policy, params, feeder, None,
-                                        dummy_key, cfg)
+        _, loss, _ = fast_adapt(policy, params, feeder, None,
+                                jax.random.key(0), cfg)
         return loss
 
     def meta_loss(params, stacked_replays):

@@ -278,3 +278,50 @@ class TestCLMetrics:
         n = 5
         assert res["av_acc"] == pytest.approx(np.tril(acc).sum() / (n * (n + 1) / 2))
         assert res["fwt"] == pytest.approx(np.triu(acc, 1).sum() / (n * (n - 1) / 2))
+
+
+class TestKernelCKAOracle:
+    """RBF-kernel CKA vs a direct numpy computation of the reference's
+    formulas (utils/cka.py rbf/kernel_HSIC)."""
+
+    def _np_rbf(self, X, sigma=None):
+        GX = X @ X.T
+        KX = np.diag(GX)[:, None] + np.diag(GX)[None, :] - 2 * GX
+        if sigma is None:
+            mdist = np.median(KX[KX != 0])
+            sigma = np.sqrt(mdist)
+        return np.exp(KX * (-0.5 / (sigma * sigma)))
+
+    def test_rbf_gram_matches_numpy_oracle(self):
+        from exploring_meta_tpu.ops.cka import _rbf_gram
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(12, 5))
+        for sigma in (None, 1.0, 2.5):
+            ours = np.asarray(_rbf_gram(jnp.asarray(x), sigma))
+            ref = self._np_rbf(x, sigma)
+            np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(ours, ours.T, rtol=1e-5)  # symmetric
+
+    def test_kernel_cka_oracle_and_jit(self):
+        from exploring_meta_tpu.ops.cka import get_kernel_CKA
+
+        def np_center(K):
+            n = K.shape[0]
+            H = np.eye(n) - np.ones((n, n)) / n
+            return H @ K @ H
+
+        def np_hsic(X, Y):
+            return np.sum(np_center(self._np_rbf(X)) *
+                          np_center(self._np_rbf(Y)))
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(10, 4))
+        y = rng.normal(size=(10, 6))
+        ref = np_hsic(x, y) / np.sqrt(np_hsic(x, x) * np_hsic(y, y))
+        got = float(get_kernel_CKA(x, y))
+        assert got == pytest.approx(ref, rel=1e-5)
+        # symmetric in arguments, and jittable (median heuristic included)
+        assert float(get_kernel_CKA(y, x)) == pytest.approx(got, rel=1e-5)
+        jitted = float(jax.jit(get_kernel_CKA)(jnp.asarray(x),
+                                               jnp.asarray(y)))
+        assert jitted == pytest.approx(got, rel=1e-5)

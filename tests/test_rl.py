@@ -285,3 +285,105 @@ def test_evaluate_each3_rejects_device_envs():
         rl.evaluate("vpg", policy, params, env, roll, cfg,
                     n_tasks="door-close", key=jax.random.key(1),
                     device_env=True)
+
+
+class TestAdaptRLFixes:
+    def _setup(self, episodes=3, horizon=8):
+        env = Particles2D()
+        policy = DiagNormalPolicy(input_size=2, output_size=2,
+                                  hiddens=(8, 8))
+        params = policy.init(jax.random.key(0))
+        cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1,
+                          adapt_batch_size=episodes,
+                          max_path_length=horizon)
+        roll = rl.make_rollout(env, policy.sample, episodes=episodes,
+                               horizon=horizon)
+        return env, policy, params, cfg, roll
+
+    def test_dice_recurrence_is_per_episode(self):
+        """The DiCE cumsum must chain log-probs within an episode (time
+        axis), never across the episode axis — oracle: per-episode
+        weighted cumsum computed column by column."""
+        from exploring_meta_tpu.ops.losses import magic_box
+        from exploring_meta_tpu.rl.adapt_rl import (
+            _log_prob, masked_mean, masked_normalize, traj_advantages,
+        )
+        env, policy, params, cfg, roll = self._setup()
+        task = env.sample_tasks(jax.random.key(1), 1)[0]
+        traj = roll(params, task, jax.random.key(2))
+        T, E = traj.reward.shape
+
+        got = float(rl.vpg_a2c_loss(policy, params, traj, cfg, dice=True))
+
+        # oracle: independent recurrence per episode column
+        lp = np.asarray(_log_prob(policy, params, traj, False)).reshape(T, E)
+        dones = np.asarray(traj.done * traj.valid)
+        n_eps = max(dones.sum(), 1.0)
+        cum = np.zeros_like(lp)
+        for e in range(E):
+            y = 0.0
+            for t in range(T):
+                w = (1.0 if t == 0 else 1.0 - dones[t - 1, e]) / n_eps
+                y = lp[t, e] + w * y
+                cum[t, e] = y
+        boxed = np.asarray(magic_box(jnp.asarray(cum))).reshape(T * E, 1)
+        # vpg_a2c_loss uses RAW advantages (reference rl.py:208-226 never
+        # normalizes despite its comment)
+        adv, _ = traj_advantages(traj, cfg)
+        adv = np.asarray(traj.flat(adv))[:, None]
+        valid = np.asarray(traj.flat(traj.valid))[:, None]
+        ref = -float((boxed * adv * valid).sum() / valid.sum())
+        assert got == pytest.approx(ref, rel=1e-4)
+
+        # the gradient must also match the per-episode oracle: compare
+        # against a loss built from the column-wise recurrence under AD
+        def oracle_loss(p):
+            lp_ = _log_prob(policy, p, traj, False).reshape(T, E)
+            cols = []
+            for e in range(E):
+                w = jnp.concatenate([jnp.ones((1,)),
+                                     1.0 - dones[:-1, e]]) / n_eps
+                y, out = 0.0, []
+                for t in range(T):
+                    y = lp_[t, e] + w[t] * y
+                    out.append(y)
+                cols.append(jnp.stack(out))
+            boxed_ = magic_box(jnp.stack(cols, axis=1)).reshape(T * E, 1)
+            a = jnp.asarray(adv)
+            v = jnp.asarray(valid)
+            return -jnp.sum(boxed_ * a * v) / jnp.sum(v)
+
+        g_ref = jax.grad(oracle_loss)(params)
+        g_got = jax.grad(lambda p: rl.vpg_a2c_loss(policy, p, traj, cfg,
+                                                   dice=True))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_trpo_query_loss_reuses_support_baseline(self):
+        """fast_adapt_trpo's valid_loss must use the LAST support-fitted
+        value baseline (reference update_vf=False semantics), not refit
+        on the query trajectory."""
+        from exploring_meta_tpu.rl.adapt_rl import (
+            traj_advantages, trpo_a2c_loss,
+        )
+        env, policy, params, cfg, roll = self._setup()
+        task = env.sample_tasks(jax.random.key(3), 1)[0]
+        adapted, valid_loss, replay, _ = rl.fast_adapt_trpo(
+            policy, params, roll, task, jax.random.key(4), cfg)
+        support, query = replay[0], replay[-1]
+        _, w_support = traj_advantages(support, cfg)
+        ref = float(trpo_a2c_loss(policy, adapted, query, cfg,
+                                  update_vf=False, baseline_w=w_support))
+        refit = float(trpo_a2c_loss(policy, adapted, query, cfg))
+        assert float(valid_loss) == pytest.approx(ref, rel=1e-5)
+        # and the two semantics genuinely differ on this data
+        assert ref != pytest.approx(refit, rel=1e-5)
+
+    def test_replay_meta_loss_rejects_unknown_algo(self):
+        from exploring_meta_tpu.models import DiagNormalPolicy as P
+        policy = P(input_size=2, output_size=2, hiddens=(8, 8))
+        cfg = rl.RLConfig()
+        with pytest.raises(ValueError, match="unsupported algo"):
+            rl.make_replay_meta_loss("trpo", policy, cfg)
