@@ -7,7 +7,6 @@ from exploring_meta_tpu.adapt.maml import (
     make_meta_step,
     make_train_scan,
     make_meta_eval,
-    head_only_mask,
     tree_where,
     TaskResult,
 )
@@ -16,5 +15,5 @@ from exploring_meta_tpu.adapt.vision import make_vision_fast_adapt
 __all__ = [
     "cast_compute", "inner_sgd", "make_fast_adapt", "make_meta_step", "make_train_scan",
     "make_meta_eval",
-    "head_only_mask", "tree_where", "TaskResult", "make_vision_fast_adapt",
+    "tree_where", "TaskResult", "make_vision_fast_adapt",
 ]

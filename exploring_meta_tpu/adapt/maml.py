@@ -227,12 +227,3 @@ def make_meta_eval(fast_adapt: Callable):
     return meta_eval
 
 
-def head_only_mask(params, head_keys=("head",)):
-    """Trainable-mask pytree for ANIL: True only under ``head`` subtrees
-    (plus ``sigma`` for policies, handled by callers passing extra keys)."""
-
-    def mark(path, leaf):
-        names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
-        return any(k in names for k in head_keys)
-
-    return jax.tree_util.tree_map_with_path(mark, params)

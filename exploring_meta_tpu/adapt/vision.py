@@ -23,18 +23,17 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from exploring_meta_tpu.adapt.maml import TaskResult, inner_sgd
+from exploring_meta_tpu.adapt.maml import (
+    TaskResult, inner_sgd, make_fast_adapt,
+)
 from exploring_meta_tpu.models.cnn4 import (
     CNN4Spec, cnn4_apply, cnn4_features, cnn4_head_apply,
 )
 from exploring_meta_tpu.ops.losses import accuracy, cross_entropy
+from exploring_meta_tpu.tasks.sampler import split_support_query
 
-
-def _interleave_split(data, labels, shots: int, ways: int):
-    idx_s = jnp.arange(shots * ways) * 2
-    idx_q = idx_s + 1
-    return ((jnp.take(data, idx_s, axis=0), jnp.take(labels, idx_s, axis=0)),
-            (jnp.take(data, idx_q, axis=0), jnp.take(labels, idx_q, axis=0)))
+# the even/odd interleave contract lives in ONE place (tasks/sampler.py)
+_interleave_split = split_support_query
 
 
 def make_vision_fast_adapt(spec: CNN4Spec, inner_lr: float, adapt_steps: int,
@@ -48,13 +47,12 @@ def make_vision_fast_adapt(spec: CNN4Spec, inner_lr: float, adapt_steps: int,
             logits = cnn4_apply(params, spec, x)
             return cross_entropy(logits, y), accuracy(logits, y)
 
+        adapt_eval = make_fast_adapt(loss_and_metric, inner_lr, adapt_steps,
+                                     first_order=first_order)
+
         def fast_adapt(params, data, labels) -> TaskResult:
             support, query = _interleave_split(data, labels, shots, ways)
-            adapted = inner_sgd(lambda p, b: loss_and_metric(p, b)[0],
-                                params, support, inner_lr, adapt_steps,
-                                first_order=first_order)
-            loss, acc = loss_and_metric(adapted, query)
-            return TaskResult(loss=loss, metric=acc)
+            return adapt_eval(params, support, query)
 
         return fast_adapt
 

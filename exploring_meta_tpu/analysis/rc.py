@@ -152,7 +152,10 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
         plot_sim_across_layers_average,
     )
 
-    rep_params = dict(rep_params or {"n_tasks": 5, "layers": [1, 2]})
+    # Default layers = the reference eval config's (eval_rl.py:77); layer
+    # indices are MODULE-counted (see models/policies.py
+    # get_representation): 2/4 = Linear outputs, -1 = pre-head tap.
+    rep_params = dict(rep_params or {"n_tasks": 5, "layers": [2, 4, -1]})
     layers = rep_params["layers"]
     adapt_steps = rep_params.get("adapt_steps", cfg.adapt_steps)
     rep_path = os.path.join(path, "rep_exp")

@@ -147,9 +147,11 @@ class HostVecEnv:
         """
         E, T = self.n_envs, horizon
         if self._pool is not None:
-            obs = self._pool.reset(seed=seed)
+            obs = self._pool.reset(seed=seed)  # pool offsets seed per slot
         else:
-            obs = np.stack([e.reset(seed=seed) for e in self.envs])
+            obs = np.stack([
+                e.reset(seed=None if seed is None else seed + i)
+                for i, e in enumerate(self.envs)])
         states = np.zeros((T, E, self.obs_size), np.float32)
         next_states = np.zeros_like(states)
         actions = np.zeros((T, E, self.action_size), np.float32)

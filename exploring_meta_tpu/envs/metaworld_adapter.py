@@ -52,6 +52,7 @@ class MetaWorldEnv:
         self._rng = np.random.default_rng(seed)
         self.max_path_length = max_path_length
         self._env = None
+        self._env_cache: dict = {}  # class name -> constructed env
         self._steps = 0
 
         first = classes[self._class_names[0]]()
@@ -72,7 +73,16 @@ class MetaWorldEnv:
 
     def set_task(self, task) -> None:
         mw_task = task["mw_task"]
-        self._env = self._classes[mw_task.env_name]()
+        name = mw_task.env_name
+        if name not in self._env_cache:
+            # Construct once per class (MuJoCo model parsing is expensive)
+            # and seed its np_random from the adapter's stream so reset
+            # noise is reproducible — a fresh env per set_task call would
+            # draw initial states from OS entropy.
+            env = self._classes[name]()
+            env.reset(seed=int(self._rng.integers(0, 2**31 - 1)))
+            self._env_cache[name] = env
+        self._env = self._env_cache[name]
         self._env.set_task(mw_task)
         self._steps = 0
 

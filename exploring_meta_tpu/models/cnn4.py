@@ -139,9 +139,19 @@ def cnn4_head_apply(params: dict, feats: jnp.ndarray) -> jnp.ndarray:
 
 def get_rep_layer(params: dict, spec: CNN4Spec, x: jnp.ndarray,
                   layer: int) -> jnp.ndarray:
-    """Activations after ``layer`` conv blocks; ``layer == -1`` applies the
-    head (reference ``vision_models.py:60-63``)."""
+    """Activations after ``layer`` conv blocks; ``layer == -1`` applies
+    the head to base features (reference ``vision_models.py:60-63``).
+
+    The head tap respects the spec's own feature layout — the reference's
+    OmniglotCNN copy-pasted MiniImagenet's ``view(-1, 25*hidden)`` there
+    and would crash on its own headline model; we keep the intended
+    semantics instead: raw images ([N, H, W, C] at the spec's input size)
+    run the full forward to logits, pre-extracted features apply only the
+    head.
+    """
     if layer == -1:
+        if x.ndim == 4:
+            return cnn4_apply(params, spec, x)
         return linear(params["head"], x.reshape(x.shape[0], -1))
     return base_apply(params["base"], x, spec.max_pool, n_blocks=layer)
 

@@ -48,6 +48,26 @@ def _sigma(params) -> jnp.ndarray:
     return jnp.exp(jnp.clip(params["sigma"], min=MIN_LOG_SIGMA))
 
 
+def _module_sliced_rep(layer_params, act, x, layer: int,
+                       trailing_act: bool):
+    """Reference ``get_representation`` semantics: walk the torch
+    Sequential's module list (Linear and activation modules counted
+    SEPARATELY) and apply ``modules[1:layer]`` — i.e. the first
+    ``layer - 1`` modules; ``layer == -1`` applies all but the last.
+    ``trailing_act``: whether the Sequential ends with an activation
+    (ANIL body) or a Linear (the mean net)."""
+    mods: list = []
+    n = len(layer_params)
+    for i, p in enumerate(layer_params):
+        mods.append(p)
+        if i < n - 1 or trailing_act:
+            mods.append(None)  # activation module
+    sel = mods[:-1] if layer == -1 else mods[:max(layer - 1, 0)]
+    for m in sel:
+        x = linear(m, x) if m is not None else act(x)
+    return x
+
+
 class DiagNormalPolicy(NamedTuple):
     """Static spec; params are a separate pytree."""
     input_size: int
@@ -79,12 +99,15 @@ class DiagNormalPolicy(NamedTuple):
         return dist.normal_sample(key, loc, scale)
 
     def get_representation(self, params, x, layer: int = -1):
-        """Activations up to MLP layer ``layer`` (reference :63-67)."""
-        act = self._act()
-        upto = params["mean"][:layer] if layer != -1 else params["mean"][:-1]
-        for p in upto:
-            x = act(linear(p, x))
-        return x
+        """Activation tap with the reference's MODULE-counted layer index
+        (policies.py:63-67 applies ``mean.modules()[1:layer]``, where
+        Linear and activation modules count separately): layer 1 is the
+        identity, 2 the first Linear's output, 3 adds its activation,
+        ...; -1 applies everything but the final Linear. (The reference
+        eval config's comment labels 2/4 as 'ReLU output' but its code
+        yields Linear outputs there — we match the code.)"""
+        return _module_sliced_rep(params["mean"], self._act(), x, layer,
+                                  trailing_act=False)
 
 
 class DiagNormalPolicyANIL(NamedTuple):
@@ -127,10 +150,11 @@ class DiagNormalPolicyANIL(NamedTuple):
         return dist.normal_sample(key, loc, scale)
 
     def get_representation(self, params, x, layer: int = -1):
-        upto = params["body"][:layer] if layer != -1 else params["body"]
-        for p in upto:
-            x = jnp.tanh(linear(p, x))
-        return x
+        """Module-counted tap over the body (reference :122-126); the
+        body Sequential ENDS with an activation, so -1 yields the final
+        hidden layer's PRE-activation output."""
+        return _module_sliced_rep(params["body"], jnp.tanh, x, layer,
+                                  trailing_act=True)
 
 
 class DiagNormalPolicyCNN(NamedTuple):

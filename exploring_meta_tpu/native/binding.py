@@ -150,7 +150,10 @@ class PythonEnvPool:
 
         def _reset_cb(i, task_ptr, obs_ptr):
             try:
-                obs = self.envs[i].reset(seed=self._reset_seed)
+                # per-slot seed offsets (gym AsyncVectorEnv semantics):
+                # a shared seed would put every slot's np_random in lockstep
+                s = None if self._reset_seed is None else self._reset_seed + i
+                obs = self.envs[i].reset(seed=s)
                 ctypes.memmove(obs_ptr,
                                np.ascontiguousarray(obs, np.float64).ctypes.data,
                                8 * self.obs_size)

@@ -76,12 +76,29 @@ def _load_packed(path: str) -> np.ndarray | None:
     return None
 
 
+def _resolve_packed(synthetic: bool | None, path: str):
+    """Tri-state ``synthetic``: True -> synthetic, None -> packed file
+    with silent synthetic fallback (hermetic environments), False ->
+    packed file REQUIRED (a user explicitly expecting real data must not
+    silently get synthetic results)."""
+    if synthetic:
+        return None
+    packed = _load_packed(path)
+    if packed is None and synthetic is False:
+        raise FileNotFoundError(
+            f"synthetic=False but no packed dataset at {path}; run "
+            "scripts/pack_datasets.py (or pass synthetic=None to allow "
+            "the synthetic fallback)")
+    return packed
+
+
 def load_omniglot(seed: int = 42, synthetic: bool | None = None,
                   synthetic_classes: int = 160, synthetic_per_class: int = 20):
     """-> (train, valid, test) PackedDatasets with the reference's
     1100/100/423 shuffled-class split (scaled proportionally when
     synthetic)."""
-    packed = None if synthetic else _load_packed(os.path.join(DATA_DIR, "omniglot.npz"))
+    packed = _resolve_packed(synthetic,
+                             os.path.join(DATA_DIR, "omniglot.npz"))
     if packed is None:
         n = synthetic_classes
         packed = _synthetic_classes(seed, n, synthetic_per_class, 28, 28, 1)
@@ -108,8 +125,8 @@ def load_mini_imagenet(seed: int = 42, synthetic: bool | None = None,
     sizes = {"train": 64, "validation": 16, "test": 20}
     out = []
     for i, (mode, n_cls) in enumerate(sizes.items()):
-        packed = None if synthetic else _load_packed(
-            os.path.join(DATA_DIR, f"mini_imagenet_{mode}.npz"))
+        packed = _resolve_packed(
+            synthetic, os.path.join(DATA_DIR, f"mini_imagenet_{mode}.npz"))
         if packed is None:
             packed = _synthetic_classes(seed + i, n_cls, synthetic_per_class,
                                         84, 84, 3)

@@ -244,3 +244,75 @@ class TestCategoricalParity:
             logits=torch.tensor(logits)).log_prob(
                 torch.tensor(actions)).numpy()
         np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+class TestRepresentationTaps:
+    """Module-counted get_representation semantics (reference
+    policies.py:63-67,122-126: torch modules()[1:layer])."""
+
+    def test_mean_net_module_indexing(self):
+        from exploring_meta_tpu.models import DiagNormalPolicy
+        from exploring_meta_tpu.models.layers import linear
+        policy = DiagNormalPolicy(input_size=3, output_size=2,
+                                  hiddens=(8, 8))
+        params = policy.init(jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (5, 3))
+        # layer=1 -> modules[1:1] = identity
+        np.testing.assert_array_equal(
+            np.asarray(policy.get_representation(params, x, 1)),
+            np.asarray(x))
+        # layer=2 -> first Linear's PRE-activation output
+        np.testing.assert_allclose(
+            np.asarray(policy.get_representation(params, x, 2)),
+            np.asarray(linear(params["mean"][0], x)), rtol=1e-6)
+        # layer=-1 -> everything but the final Linear (post-activation)
+        import jax.numpy as jnp
+        h = jnp.maximum(linear(params["mean"][0], x), 0)
+        h = jnp.maximum(linear(params["mean"][1], h), 0)
+        np.testing.assert_allclose(
+            np.asarray(policy.get_representation(params, x, -1)),
+            np.asarray(h), rtol=1e-6)
+
+    def test_anil_body_trailing_activation(self):
+        from exploring_meta_tpu.models import DiagNormalPolicyANIL
+        from exploring_meta_tpu.models.layers import linear
+        import jax.numpy as jnp
+        policy = DiagNormalPolicyANIL(input_size=3, output_size=2,
+                                      fc_neurons=8, hiddens=(8, 8))
+        params = policy.init(jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (5, 3))
+        # body ends with an activation module, so -1 drops it: the final
+        # hidden Linear's PRE-activation output
+        h = jnp.tanh(linear(params["body"][0], x))
+        h = linear(params["body"][1], h)
+        np.testing.assert_allclose(
+            np.asarray(policy.get_representation(params, x, -1)),
+            np.asarray(h), rtol=1e-6)
+
+    def test_cnn_head_tap_works_on_omniglot(self):
+        """Regression: layer=-1 on the Omniglot spec (global_pool) must
+        produce logits, not crash on a flattened-features mismatch."""
+        from exploring_meta_tpu import models
+        spec = models.omniglot_spec(ways=5, hidden=8, layers=2)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        x = jax.random.normal(jax.random.key(1), (4, 28, 28, 1))
+        logits = models.get_rep_layer(params, spec, x, -1)
+        assert logits.shape == (4, 5)
+        np.testing.assert_allclose(
+            np.asarray(logits),
+            np.asarray(models.cnn4_apply(params, spec, x)), rtol=1e-6)
+
+
+def test_synthetic_false_requires_packed_data(tmp_path, monkeypatch):
+    """Explicit synthetic=False must error when the packed dataset is
+    missing instead of silently substituting synthetic data."""
+    import pytest
+    import exploring_meta_tpu.tasks.datasets as ds
+    monkeypatch.setattr(ds, "DATA_DIR", str(tmp_path))  # empty dir
+    with pytest.raises(FileNotFoundError, match="synthetic=False"):
+        ds.load_omniglot(synthetic=False)
+    with pytest.raises(FileNotFoundError, match="synthetic=False"):
+        ds.load_mini_imagenet(synthetic=False)
+    # tri-state None keeps the hermetic fallback
+    train, _, _ = ds.load_omniglot(synthetic=None, synthetic_classes=8)
+    assert train.n_classes > 0
