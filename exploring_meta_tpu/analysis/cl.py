@@ -143,6 +143,17 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
     # Detect by the vec-env collection API, NOT the task container type:
     # Meta-World tasks are dict lists but Ant tasks are plain ndarrays.
     host_env = hasattr(env, "collect")
+
+    # Matrix cells are evaluated with ``eval_batch_size`` episodes
+    # (reference cl_rl.py:105-107), distinct from the adaptation batch.
+    # Device envs build a wider rollout; host vec envs have a fixed slot
+    # count — size the env's ``workers`` accordingly there.
+    eval_roll = rollout_fn
+    if eval_batch_size is not None and not host_env:
+        from exploring_meta_tpu.rl.rollout import make_rollout
+        eval_roll = make_rollout(env, policy.sample,
+                                 episodes=eval_batch_size,
+                                 horizon=cfg.max_path_length)
     maybe_jit = (lambda f: f) if host_env else jax.jit
 
     rew_progress: dict = {}
@@ -178,7 +189,7 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
         return adapted
 
     def eval_one(adapted, task, kk):
-        traj = rollout_fn(adapted, task, kk)
+        traj = eval_roll(adapted, task, kk)
         rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
         suc = jnp.mean(traj.episode_successes())
         return rew, suc

@@ -174,9 +174,17 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
                     "adapt_mean": [], "adapt_var": []}
     performance = []
 
+    def _real_states(traj_i):
+        """Flat states with post-termination filler rows removed — the
+        reference walks only real episode states (rc_rl.py:246-283);
+        frozen filler rows would bias the similarity statistics."""
+        states = np.asarray(traj_i.flat(traj_i.state))
+        mask = np.asarray(traj_i.flat(traj_i.valid)) > 0
+        return states[mask]
+
     def probe_step(task_idx, support_i, before_i, after_i, buf):
         """Per-(task, step) probes on the support states."""
-        states = np.asarray(support_i.flat(support_i.state))
+        states = _real_states(support_i)
         rep_init = policy.get_representation(params, states)
         rep_before = policy.get_representation(before_i, states)
         rep_after = policy.get_representation(after_i, states)
@@ -186,7 +194,7 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
 
     def probe_layers(query_i, adapted_i):
         """Final across-layers CCA probes on the query states."""
-        states = query_i.flat(query_i.state)
+        states = _real_states(query_i)
         for layer in layers:
             init_rep = policy.get_representation(params, states, layer)
             adapted_rep = policy.get_representation(adapted_i, states, layer)
@@ -224,8 +232,7 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
         key, kq = jax.random.split(key)
         query = grouped(cur, tasks, kq)
         sanity_check(lambda p, x: policy.get_representation(p, x), params,
-                     np.asarray(task_at(query, 0).flat(
-                         task_at(query, 0).state)))
+                     _real_states(task_at(query, 0)))
         for i in range(n_tasks):  # flatten probes task-major (artifact
             for im, iv, am, av in step_bufs[i]:  # parity with the loop)
                 across_steps["init_mean"].append(im)
@@ -265,7 +272,7 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
             key, kq = jax.random.split(key)
             query = rollout_fn(before, task, kq)
             sanity_check(lambda p, x: policy.get_representation(p, x),
-                         params, query.flat(query.state))
+                         params, _real_states(query))
             probe_layers(query, before)
 
     # average layer change over tasks (reference av_layer_changes)

@@ -106,6 +106,15 @@ class NativeVecEnv:
         tasks = np.ascontiguousarray(tasks, np.float64)
         if tasks.ndim == 1:
             tasks = tasks[None]
+        # Validate before handing pointers to C: the native side indexes
+        # tasks[i] for every env unless task_rows == 1 (broadcast), so a
+        # wrong shape would be an out-of-bounds read, not a Python error.
+        if tasks.shape[0] not in (1, self.n_envs):
+            raise ValueError(f"tasks rows must be 1 or n_envs "
+                             f"({self.n_envs}), got {tasks.shape[0]}")
+        if tasks.shape[1] != 2:  # particles2d goal dim
+            raise ValueError(f"particles2d tasks need dim 2, "
+                             f"got {tasks.shape[1]}")
         obs = np.empty((self.n_envs, self.obs_size), np.float64)
         self._lib.vecenv_reset(self._h, _ptr(tasks), tasks.shape[0],
                                tasks.shape[1], _ptr(obs))

@@ -10,8 +10,8 @@
 // The service is env-agnostic through a small C vtable; a C++ Particles2D
 // implementation is built in (bit-compatible with the pure-JAX device env
 // in envs/particles2d.py) both as the host fallback and as a validation
-// fixture for the protocol. External C envs can register through
-// vecenv_create_custom.
+// fixture for the protocol; Python-object physics (MuJoCo, Meta-World)
+// registers through vecenv_create_python's indexed callbacks.
 //
 // C ABI only — bound from Python with ctypes (no pybind11 in this image).
 
@@ -143,7 +143,14 @@ struct VecEnv {
         int i = next_env.fetch_add(1);
         if (i >= n_envs) break;
         job(i);
-        if (remaining.fetch_sub(1) == 1) cv_done.notify_one();
+        if (remaining.fetch_sub(1) == 1) {
+          // Acquire mu before notifying: without it the decrement can
+          // land between the waiter's predicate check and its block,
+          // and the notify is lost (classic lost-wakeup) — run_batch
+          // would sleep forever.
+          std::lock_guard<std::mutex> done_lk(mu);
+          cv_done.notify_one();
+        }
       }
     }
   }
@@ -155,9 +162,14 @@ struct VecEnv {
     }
     std::unique_lock<std::mutex> lk(mu);
     job = std::move(fn);
-    next_env.store(0);
     remaining.store(n_envs);
     ++generation;
+    // Publish the claim counter LAST: a straggler worker from the
+    // previous batch that claims an index sees `job` and `remaining`
+    // already set (seq_cst store/fetch_add ordering). Resetting it
+    // first would let that straggler decrement `remaining` before the
+    // store, losing a completion count and hanging the wait below.
+    next_env.store(0);
     cv_work.notify_all();
     cv_done.wait(lk, [&] { return remaining.load() == 0; });
   }
@@ -215,13 +227,6 @@ void* vecenv_create_python(py_reset_fn reset, py_step_fn step, int obs_size,
   return ve;
 }
 
-void* vecenv_create_custom(env_reset_fn reset, env_step_fn step,
-                           int obs_size, int action_size, int state_bytes,
-                           int n_envs, int n_threads) {
-  EnvVTable vt{reset, step, obs_size, action_size, state_bytes};
-  return new VecEnv(vt, n_envs, n_threads);
-}
-
 void vecenv_destroy(void* h) { delete reinterpret_cast<VecEnv*>(h); }
 
 int vecenv_obs_size(void* h) { return reinterpret_cast<VecEnv*>(h)->vt.obs_size; }
@@ -250,48 +255,6 @@ void vecenv_step(void* h, const double* actions, double* obs_out,
                 obs_out + (size_t)i * ve->vt.obs_size,
                 rewards_out + i, dones_out + i, success_out + i);
   });
-}
-
-// Full on-host rollout with a C policy callback: for envs whose physics
-// lives host-side AND whose policy is cheap enough to evaluate on host,
-// this removes even the per-step Python boundary.
-typedef void (*policy_fn)(const double* obs, int n_envs, int obs_size,
-                          double* actions_out, void* ctx);
-
-void vecenv_rollout(void* h, const double* tasks, int task_rows,
-                    int task_dim, int horizon, policy_fn policy, void* ctx,
-                    double* states_out, double* actions_out,
-                    double* rewards_out, double* dones_out,
-                    double* success_out, double* valid_out) {
-  auto* ve = reinterpret_cast<VecEnv*>(h);
-  int E = ve->n_envs, O = ve->vt.obs_size, A = ve->vt.action_size;
-  std::vector<double> obs((size_t)E * O), next_obs((size_t)E * O);
-  std::vector<double> was_done(E, 0.0);
-
-  vecenv_reset(h, tasks, task_rows, task_dim, obs.data());
-  for (int t = 0; t < horizon; ++t) {
-    double* acts = actions_out + (size_t)t * E * A;
-    policy(obs.data(), E, O, acts, ctx);
-    std::memcpy(states_out + (size_t)t * E * O, obs.data(),
-                sizeof(double) * E * O);
-    double* rew = rewards_out + (size_t)t * E;
-    double* don = dones_out + (size_t)t * E;
-    double* suc = success_out + (size_t)t * E;
-    double* val = valid_out + (size_t)t * E;
-    ve->run_batch([&, acts, rew, don, suc, val](int i) {
-      val[i] = was_done[i] < 0.5 ? 1.0 : 0.0;
-      ve->vt.step(ve->states[i].data(), acts + (size_t)i * A,
-                  next_obs.data() + (size_t)i * O, rew + i, don + i,
-                  suc + i);
-      if (was_done[i] > 0.5) {  // post-termination filler: zero out
-        rew[i] = 0.0;
-        suc[i] = 0.0;
-      }
-      if (don[i] > 0.5) was_done[i] = 1.0;
-      if (t == horizon - 1 && val[i] > 0.5) don[i] = 1.0;  // horizon-done
-    });
-    std::swap(obs, next_obs);
-  }
 }
 
 }  // extern "C"

@@ -340,18 +340,26 @@ class VisionBaseline(Experiment):
 
         @jax.jit
         def sgd_step(params, opt_state, data_b, labels_b):
-            def loss_fn(p):
-                # one update per task batch (reference vision.py:92-103)
-                def per_batch(x, y):
-                    logits = models.cnn4_apply(p, spec, x)
-                    return cross_entropy(logits, y), accuracy(logits, y)
-                losses, accs = jax.vmap(per_batch)(data_b, labels_b)
-                return jnp.mean(losses), jnp.mean(accs)
+            # The reference takes n_batch_iter SEQUENTIAL optimizer.step()
+            # calls per iteration, one per sampled task batch
+            # (vision.py:91-103) — a scan of per-batch Adam updates, NOT
+            # one update on the mean loss (which would give ~n_batch_iter
+            # fewer optimizer steps and different Adam dynamics).
+            def one(carry, xs):
+                p, o = carry
+                x, y = xs
 
-            (loss, acc), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss, acc
+                def loss_fn(pp):
+                    logits = models.cnn4_apply(pp, spec, x)
+                    return cross_entropy(logits, y), accuracy(logits, y)
+
+                (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+                up, o = opt.update(g, o, p)
+                return (optax.apply_updates(p, up), o), (l, a)
+
+            (params, opt_state), (ls, accs) = jax.lax.scan(
+                one, (params, opt_state), (data_b, labels_b))
+            return params, opt_state, jnp.mean(ls), jnp.mean(accs)
 
         n_batch_iter = max(1, int(320 / cfg.meta_batch_size))
         t = trange(cfg.num_iterations)
@@ -359,9 +367,10 @@ class VisionBaseline(Experiment):
         try:
             for iteration in t:
                 key, k = jax.random.split(key)
+                # n_batch_iter task batches per iteration (each one task's
+                # ways*2*shots samples — the reference's train_tasks.sample())
                 data, labels = tasks.sample_task_batch(
-                    k, train_ds, cfg.ways, cfg.shots,
-                    cfg.meta_batch_size * n_batch_iter)
+                    k, train_ds, cfg.ways, cfg.shots, n_batch_iter)
                 params, opt_state, loss, acc = sgd_step(params, opt_state,
                                                         data, labels)
                 metrics = {"train_loss": float(loss),

@@ -74,11 +74,15 @@ class RLTrainer(Experiment):
         cfg = self.cfg
         # Task-batched host collection steps the whole meta-batch through
         # one big vec env (meta_batch x episodes slots); per-task mode uses
-        # episodes slots reused across tasks (the reference's worker pool).
+        # episodes slots reused across tasks. --workers caps the native
+        # thread-pool parallelism (the reference's AsyncVectorEnv worker
+        # count; slot COUNT is fixed by the collection shape).
         workers = cfg.adapt_batch_size * (
             cfg.meta_batch_size if cfg.task_batch else 1)
-        env, is_device = make_env(cfg.env, workers=workers, seed=cfg.seed,
-                                  max_path_length=cfg.max_path_length)
+        env, is_device = make_env(
+            cfg.env, workers=workers, seed=cfg.seed,
+            max_path_length=cfg.max_path_length,
+            n_threads=cfg.workers if cfg.workers > 1 else None)
         policy = build_policy(env, self.anil, fc_neurons=cfg.fc_neurons)
         key = jax.random.key(cfg.seed)
         key, ik = jax.random.split(key)
@@ -132,8 +136,10 @@ class RLTrainer(Experiment):
         state = None
         try:
             if use_fused:
-                iteration = self._fused_device_loop(env, policy, roll,
-                                                    rl_cfg, params, key, t)
+                # rebind key: the final meta-test below must not reuse the
+                # RNG stream that generated the training chunks
+                iteration, key = self._fused_device_loop(
+                    env, policy, roll, rl_cfg, params, key, t)
                 params = self._fused_params  # final params from the loop
             else:
                 for iteration in t:
@@ -184,9 +190,9 @@ class RLTrainer(Experiment):
     def _fused_device_loop(self, env, policy, roll, rl_cfg, params, key, t):
         """Run num_iterations in chunks of ``cfg.fuse`` fully-fused XLA
         programs (rl/train_scan.py); logs per-iteration metrics and
-        checkpoints at chunk boundaries. -> last iteration index; final
-        params exposed via ``self._fused_params`` (KeyboardInterrupt-safe:
-        updated after every chunk)."""
+        checkpoints at chunk boundaries. -> (last iteration index,
+        advanced RNG key); final params exposed via ``self._fused_params``
+        (KeyboardInterrupt-safe: updated after every chunk)."""
         cfg = self.cfg
         self._fused_params = params
         scans: dict = {}  # chunk length -> compiled program (<=2 entries)
@@ -241,7 +247,7 @@ class RLTrainer(Experiment):
             self._fused_params = state[0]
             self._fused_iteration = iteration
 
-        (params, opt_state), iteration, _ = drive_fused_chunks(
+        (params, opt_state), iteration, key = drive_fused_chunks(
             total=cfg.num_iterations, fuse=cfg.fuse,
             save_every=cfg.save_every, key=key, state=(params, opt_state),
             run_chunk=chunk,
@@ -253,7 +259,7 @@ class RLTrainer(Experiment):
                 state[0], i, rng_key=k, async_write=cfg.async_ckpt),
             progress=t, on_chunk=on_chunk)
         self._fused_params = params
-        return iteration
+        return iteration, key
 
     # -- TRPO outer step ---------------------------------------------------
 

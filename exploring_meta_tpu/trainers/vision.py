@@ -67,13 +67,18 @@ class VisionTrainer(Experiment):
         start_iteration = 0
         if cfg.resume:  # true mid-training resume (the reference cannot)
             from exploring_meta_tpu.utils.experiment import load_checkpoint
-            params, opt_state_r, rng_key, start_iteration = load_checkpoint(
+            params, opt_state_r, rng_key, done_iter = load_checkpoint(
                 cfg.resume, params, opt_state)
             if opt_state_r is not None:
                 opt_state = opt_state_r
             if rng_key is not None:
                 key = rng_key
-            print(f"Resumed from {cfg.resume} at iteration {start_iteration}")
+            # Checkpoints are written AFTER iteration i completes, so the
+            # resumed run continues at i+1 (re-running i would apply a
+            # duplicate update on already-updated params).
+            start_iteration = done_iter + 1
+            print(f"Resumed from {cfg.resume}: iteration {done_iter} done, "
+                  f"continuing at {start_iteration}")
 
         if cfg.mesh > 1:
             mesh = parallel.make_task_mesh(cfg.mesh)

@@ -114,7 +114,8 @@ class RLScriptConfig:
     # extras
     n_eval_tasks: int = 10
     fc_neurons: int = 100        # ANIL policy head width (reference anil_trpo.py:23)
-    workers: int = 1             # host-env episode slots (reference workers toggle)
+    workers: int = 1             # host physics thread-pool cap (reference
+                                 # AsyncVectorEnv worker count)
     use_wandb: bool = False
     mesh: int = 1                # devices for task-DP sharding of the outer
                                  # step (TRPO CG/line-search AND Adam paths)
@@ -153,7 +154,9 @@ def rl_argparser(defaults: RLScriptConfig,
     p.add_argument("--fc_neurons", type=int, default=defaults.fc_neurons,
                    help="ANIL policy head width")
     p.add_argument("--workers", type=int, default=defaults.workers,
-                   help="host-env episode slots (device envs ignore this)")
+                   help="host-env physics parallelism: caps the native "
+                        "thread pool (episode slots are sized from the "
+                        "adapt/meta batch; device envs ignore this)")
     p.add_argument("--mesh", type=int, default=defaults.mesh,
                    help="Devices for task-DP sharding of the outer step")
     p.add_argument("--wandb", dest="use_wandb", action="store_true",
