@@ -4,9 +4,10 @@ TPU-native rebuild of l2l.gym's ``Particles2D-v1`` (the env the reference
 requests through ``utils/env_maker.py:7,11-21``): a point mass starts at
 the origin, actions are clipped displacement steps, reward is the negative
 Euclidean distance to a task-specific goal, and the episode terminates
-when within 0.01 of the goal. A task is the goal position, sampled
-uniformly from [-0.5, 0.5]^2 (``sample_tasks``/``set_task`` parity with
-l2l's MetaEnv API).
+when BOTH coordinates are within 0.01 of the goal (l2l's per-coordinate
+box test ``abs(x) < 0.01 and abs(y) < 0.01`` — NOT a Euclidean disk). A
+task is the goal position, sampled uniformly from [-0.5, 0.5]^2
+(``sample_tasks``/``set_task`` parity with l2l's MetaEnv API).
 
 Because the dynamics are pure math, whole batched rollouts run inside one
 ``lax.scan`` program on TPU — replacing the reference's per-step Python ->
@@ -50,9 +51,11 @@ class Particles2D(NamedTuple):
         (post-termination steps are masked out by the rollout layer)."""
         action = jnp.clip(action, -self.max_action, self.max_action)
         new_pos = jnp.where(state.done, state.pos, state.pos + action)
-        dist = jnp.linalg.norm(new_pos - task)
-        reward = -dist
-        done_now = dist < self.goal_threshold
+        diff = new_pos - task
+        reward = -jnp.linalg.norm(diff)
+        # l2l Particles2DEnv terminates on the per-coordinate box, not the
+        # Euclidean disk: done = abs(dx) < thr and abs(dy) < thr.
+        done_now = jnp.all(jnp.abs(diff) < self.goal_threshold)
         next_state = EnvState(pos=new_pos, t=state.t + 1,
                               done=state.done | done_now)
         success = done_now.astype(jnp.float32)

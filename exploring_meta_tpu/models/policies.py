@@ -16,6 +16,13 @@ All policies are (params, state) -> distribution-parameter functions:
 ``log_prob`` keeps the reference's quirk of *averaging* (not summing) the
 per-dimension Gaussian log density over the action axis
 (``policies.py:54-56``) — the surrogate losses are calibrated to it.
+
+Mixed precision (``--bf16`` on the RL trainers): each policy spec carries
+a ``compute_dtype`` field; ``policy._replace(compute_dtype="bf16")`` runs
+the MLP/conv compute graphs (where all the RL tier's FLOPs and HBM bytes
+are) in bfloat16 with f32 master params, casting distribution parameters
+back to f32 so the advantage/KL/CG numerics stay full precision. AD
+transposes the casts automatically, so meta-gradients arrive f32.
 """
 
 from __future__ import annotations
@@ -48,6 +55,20 @@ def _sigma(params) -> jnp.ndarray:
     return jnp.exp(jnp.clip(params["sigma"], min=MIN_LOG_SIGMA))
 
 
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
+def _compute_cast(compute_dtype: str, params, x):
+    """Cast (params, input) into the policy's compute dtype (bf16 mixed
+    precision when ``compute_dtype == 'bf16'``; identity otherwise)."""
+    if compute_dtype == "bf16":
+        return _cast_tree(params, jnp.bfloat16), x.astype(jnp.bfloat16)
+    return params, x
+
+
 def _module_sliced_rep(layer_params, act, x, layer: int,
                        trailing_act: bool):
     """Reference ``get_representation`` semantics: walk the torch
@@ -74,6 +95,7 @@ class DiagNormalPolicy(NamedTuple):
     output_size: int
     hiddens: tuple = (100, 100)
     activation: str = "relu"
+    compute_dtype: str = "f32"   # "bf16" = mixed-precision compute graph
 
     def init(self, key) -> dict:
         km, _ = jax.random.split(key)
@@ -86,7 +108,9 @@ class DiagNormalPolicy(NamedTuple):
 
     def density(self, params, state):
         """-> (loc, scale) of the diagonal Gaussian."""
-        loc = mlp_apply(params["mean"], state, self._act())
+        mean_p, state = _compute_cast(self.compute_dtype, params["mean"],
+                                      state)
+        loc = mlp_apply(mean_p, state, self._act()).astype(jnp.float32)
         return loc, jnp.broadcast_to(_sigma(params), loc.shape)
 
     def log_prob(self, params, state, action):
@@ -115,6 +139,7 @@ class DiagNormalPolicyANIL(NamedTuple):
     output_size: int
     fc_neurons: int = 100
     hiddens: tuple = (100, 100)
+    compute_dtype: str = "f32"
 
     def init(self, key) -> dict:
         kb, kh = jax.random.split(key)
@@ -128,8 +153,8 @@ class DiagNormalPolicyANIL(NamedTuple):
 
     def features(self, params, state):
         """Tanh body (activation after every layer, reference :79-85)."""
-        x = state
-        for p in params["body"]:
+        body_p, x = _compute_cast(self.compute_dtype, params["body"], state)
+        for p in body_p:
             x = jnp.tanh(linear(p, x))
         return x
 
@@ -137,7 +162,9 @@ class DiagNormalPolicyANIL(NamedTuple):
         feats = self.features(params, state)
         if stop_body_grad:
             feats = jax.lax.stop_gradient(feats)
-        loc = linear(params["head"], feats)
+        head_p, feats = _compute_cast(self.compute_dtype, params["head"],
+                                      feats)
+        loc = linear(head_p, feats).astype(jnp.float32)
         return loc, jnp.broadcast_to(_sigma(params), loc.shape)
 
     def log_prob(self, params, state, action, stop_body_grad: bool = False):
@@ -162,6 +189,7 @@ class DiagNormalPolicyCNN(NamedTuple):
     input_channels: int
     output_size: int
     network: tuple = (32, 64, 64)
+    compute_dtype: str = "f32"
 
     @property
     def flatten_size(self) -> int:
@@ -183,13 +211,16 @@ class DiagNormalPolicyCNN(NamedTuple):
                 "sigma": jnp.zeros((self.output_size,))}
 
     def _features(self, params, x):
-        for p in params["features"]:
+        feat_p, x = _compute_cast(self.compute_dtype, params["features"], x)
+        for p in feat_p:
             x = conv2d(p["conv"], x, stride=1, padding=1)
             x = max_pool2d(relu(batch_norm(p["bn"], x)), 2, 2)
         return x.reshape(x.shape[0], -1)
 
     def density(self, params, state):
-        loc = linear(params["mean"], self._features(params, state))
+        mean_p, feats = _compute_cast(self.compute_dtype, params["mean"],
+                                      self._features(params, state))
+        loc = linear(mean_p, feats).astype(jnp.float32)
         return loc, jnp.broadcast_to(_sigma(params), loc.shape)
 
     def log_prob(self, params, state, action):

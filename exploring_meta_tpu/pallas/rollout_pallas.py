@@ -105,7 +105,9 @@ def _rollout_kernel(B, E, horizon, max_action, goal_threshold, activation,
         new_pos = jnp.where(was_done > 0.5, pos, pos + clipped)
         diff = new_pos - goals
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=1, keepdims=True))
-        done_now = (dist < goal_threshold).astype(jnp.float32)
+        # l2l box termination: every coordinate within the threshold.
+        done_now = (jnp.max(jnp.abs(diff), axis=1, keepdims=True)
+                    < goal_threshold).astype(jnp.float32)
         new_done = jnp.maximum(was_done, done_now)
         is_last = (t == horizon - 1).astype(jnp.float32)
         done_rec = jnp.maximum(new_done, is_last * valid)

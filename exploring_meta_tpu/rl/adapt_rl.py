@@ -46,6 +46,13 @@ class RLConfig(NamedTuple):
     ppo_clip_ratio: float = 0.3
     anil: bool = False
     first_order: bool = False
+    flat_timestep: bool = False   # reference-exact LinearValue timestep:
+                                  # cherry uses the flat concatenated-replay
+                                  # row index (crossing episode boundaries)
+                                  # as the baseline's time feature; the
+                                  # default here is the within-episode index
+                                  # (a measured improvement — PARITY.md
+                                  # deviations registry). True = exact.
 
 
 def masked_mean(x, mask):
@@ -68,7 +75,18 @@ def traj_advantages(traj: Trajectory, cfg: RLConfig, update_vf: bool = True,
     rl.py:95-110). -> (advantages [T,E], baseline_w)."""
     returns = discount(cfg.gamma, traj.reward, traj.done)
     flat_states = traj.flat(traj.state)
-    flat_t = traj.flat(traj.timestep)
+    if cfg.flat_timestep:
+        # Reference-exact: cherry's LinearValue uses the row index of the
+        # flat concatenated-episodes replay as its time feature, and the
+        # SAME index for next-state values. Reconstruct it from episode
+        # lengths: row(t, e) = sum(len(ep < e)) + t.
+        lengths = jnp.sum(traj.valid, axis=0)
+        offsets = (jnp.cumsum(lengths) - lengths).astype(traj.timestep.dtype)
+        flat_t = traj.flat(traj.timestep + offsets[None, :])
+        next_t = flat_t
+    else:
+        flat_t = traj.flat(traj.timestep)
+        next_t = flat_t + 1
     if update_vf or baseline_w is None:
         baseline_w = fit_linear_value(flat_states, flat_t,
                                       traj.flat(returns),
@@ -76,7 +94,7 @@ def traj_advantages(traj: Trajectory, cfg: RLConfig, update_vf: bool = True,
     shape = traj.reward.shape
     values = linear_value(baseline_w, flat_states, flat_t).reshape(shape)
     next_values = linear_value(baseline_w, traj.flat(traj.next_state),
-                               flat_t + 1).reshape(shape)
+                               next_t).reshape(shape)
     adv = compute_advantages(cfg.tau, cfg.gamma, traj.reward, traj.done,
                              values, next_values)
     return adv, baseline_w

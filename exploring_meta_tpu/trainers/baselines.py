@@ -9,6 +9,8 @@ meta-learning adds.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -285,8 +287,18 @@ class TRPOBaseline(Experiment):
 
 
 class RandomPolicyBaseline(Experiment):
-    """Random policy control (reference baselines/random.py): evaluate an
-    untrained policy, with and without few-step adaptation."""
+    """Random policy control (reference ``baselines/random.py:65-115``):
+    roll an UNTRAINED policy over sampled tasks for ``num_iterations``,
+    logging ``average_return`` per iteration and checkpointing on the
+    ``save_every`` cadence (policy + the LinearValue baseline artifact),
+    then meta-test with **PPO** few-step adaptation (reference
+    ``random.py:112-115`` wraps in MAML and calls ``evaluate_ppo``).
+
+    The baseline artifact note: cherry's LinearValue is a persistent
+    module the reference checkpoints alongside the policy
+    (``random.py:99,108``); here the fit is closed-form per batch
+    (ops/value.py), so each ``baseline_<iter>.npz`` stores the weights
+    fitted on that iteration's rollouts."""
 
     def __init__(self, cfg: RLScriptConfig, path: str = "random_results/"):
         super().__init__("random", cfg.env, cfg.to_params(), path=path,
@@ -294,21 +306,84 @@ class RandomPolicyBaseline(Experiment):
         self.cfg = cfg
 
     def run(self) -> dict:
+        import numpy as np
+
+        from exploring_meta_tpu.ops.gae import discount
+        from exploring_meta_tpu.ops.value import fit_linear_value
+
         cfg = self.cfg
         env, is_device, policy, roll = _setup_rl_baseline(cfg)
         key = jax.random.key(cfg.seed)
         key, ik = jax.random.split(key)
         params = policy.init(ik)
+        self.log_model(params)
         rl_cfg = rl.RLConfig(gamma=cfg.gamma, tau=cfg.tau,
                              inner_lr=cfg.inner_lr,
                              adapt_steps=cfg.adapt_steps,
                              adapt_batch_size=cfg.adapt_batch_size,
-                             max_path_length=cfg.max_path_length)
+                             max_path_length=cfg.max_path_length,
+                             ppo_epochs=cfg.ppo_epochs,
+                             ppo_clip_ratio=cfg.ppo_clip_ratio)
+
+        def reward_and_fit(traj):
+            rew = jnp.sum(traj.reward * traj.valid) / traj.n_episodes
+            returns = discount(cfg.gamma, traj.reward, traj.done)
+            w = fit_linear_value(traj.flat(traj.state),
+                                 traj.flat(traj.timestep),
+                                 traj.flat(returns),
+                                 weights=traj.flat(traj.valid))
+            return rew, w
+
+        if is_device:
+            @jax.jit
+            def run_task(params, task, k):
+                return reward_and_fit(roll(params, task, k))
+        else:
+            fit = jax.jit(reward_and_fit)
+
+            def run_task(params, task, k):
+                return fit(roll(params, task, k))
+
+        t = trange(cfg.num_iterations)
+        iteration = 0
+        baseline_w = None
+        try:
+            for iteration in t:
+                key, tk = jax.random.split(key)
+                task_list = env.sample_tasks(tk, cfg.meta_batch_size)
+                iter_rew = 0.0
+                for i in range(cfg.meta_batch_size):
+                    key, k = jax.random.split(key)
+                    rew, baseline_w = run_task(params, _task_at(task_list, i),
+                                               k)
+                    iter_rew += float(rew)
+                metrics = {"average_return": iter_rew / cfg.meta_batch_size}
+                t.set_postfix(metrics)
+                self.log_metrics(metrics)
+                if iteration % cfg.save_every == 0:
+                    self.save_model_checkpoint(params, iteration + 1)
+                    np.savez(os.path.join(self.model_path,
+                                          "model_checkpoints",
+                                          f"baseline_{iteration + 1}.npz"),
+                             weight=np.asarray(baseline_w))
+        except KeyboardInterrupt:
+            print("\nManually stopped training!\n")
+            self.logger["manually_stopped"] = True
+            self.params["num_iterations"] = iteration
+
+        self.save_model(params)
+        if baseline_w is not None:
+            np.savez(os.path.join(self.model_path, "baseline.npz"),
+                     weight=np.asarray(baseline_w))
+        self.logger["elapsed_time"] = (
+            f"{round(t.format_dict['elapsed'], 2)} sec")
+
+        # Meta-test with PPO adaptation (reference random.py:112-115).
         key, ek = jax.random.split(key)
-        final = rl.meta_test("vpg", cfg.env, policy, params, rl_cfg,
+        final = rl.meta_test("ppo", cfg.env, policy, params, rl_cfg,
                              n_tasks=cfg.n_eval_tasks, key=ek, seed=cfg.seed)
         self.logger["test_reward"] = final["mean_reward"]
-        self.save_model(params)
+        self.log_metrics({"test_reward": final["mean_reward"]})
         self.save_logs_to_file()
         return final
 

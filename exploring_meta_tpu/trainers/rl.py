@@ -84,10 +84,38 @@ class RLTrainer(Experiment):
             max_path_length=cfg.max_path_length,
             n_threads=cfg.workers if cfg.workers > 1 else None)
         policy = build_policy(env, self.anil, fc_neurons=cfg.fc_neurons)
+        if getattr(cfg, "bf16", False):
+            # Mixed precision: every policy application (rollout sampling,
+            # inner/outer losses, surrogate/KL) runs its MLP in bf16 with
+            # f32 master params (models/policies.py compute_dtype).
+            policy = policy._replace(compute_dtype="bf16")
         key = jax.random.key(cfg.seed)
         key, ik = jax.random.split(key)
         params = policy.init(ik)
         self.log_model(params)
+
+        # One outer optimizer owned by the trainer (Adam paths); TRPO's
+        # natural-gradient step is stateless. Shared so checkpoints can
+        # carry resumable optimizer state.
+        self._opt = None if self.algo == "trpo" else optax.adam(cfg.outer_lr)
+
+        start_iteration = 0
+        state = None
+        if getattr(cfg, "resume", ""):  # true mid-training resume
+            from exploring_meta_tpu.utils.experiment import load_checkpoint
+            opt_template = (self._opt.init(params)
+                            if self._opt is not None else None)
+            params, opt_state_r, rng_key, done_iter = load_checkpoint(
+                cfg.resume, params, opt_template)
+            if opt_state_r is not None:
+                state = opt_state_r
+            if rng_key is not None:
+                key = rng_key
+            # Checkpoints are written AFTER iteration i completes, so the
+            # resumed run continues at i+1 (vision trainer convention).
+            start_iteration = done_iter + 1
+            print(f"Resumed from {cfg.resume}: iteration {done_iter} done, "
+                  f"continuing at {start_iteration}")
 
         rl_cfg = rl.RLConfig(
             inner_lr=cfg.inner_lr, gamma=cfg.gamma, tau=cfg.tau,
@@ -131,15 +159,16 @@ class RLTrainer(Experiment):
             step_fn = self._make_host_adam_iteration(env, policy, roll,
                                                      rl_cfg)
 
-        t = trange(cfg.num_iterations)
-        iteration = 0
-        state = None
+        t = trange(start_iteration, cfg.num_iterations,
+                   initial=start_iteration, total=cfg.num_iterations)
+        iteration = start_iteration
         try:
             if use_fused:
                 # rebind key: the final meta-test below must not reuse the
                 # RNG stream that generated the training chunks
                 iteration, key = self._fused_device_loop(
-                    env, policy, roll, rl_cfg, params, key, t)
+                    env, policy, roll, rl_cfg, params, key, t,
+                    opt_state=state, start=start_iteration)
                 params = self._fused_params  # final params from the loop
             else:
                 for iteration in t:
@@ -149,6 +178,7 @@ class RLTrainer(Experiment):
                     self.log_metrics(metrics)
                     if iteration % cfg.save_every == 0:
                         self.save_model_checkpoint(params, iteration,
+                                                   opt_state=state,
                                                    rng_key=key,
                                                    async_write=cfg.async_ckpt)
         except KeyboardInterrupt:
@@ -187,7 +217,8 @@ class RLTrainer(Experiment):
 
     # -- fused device training: whole iterations under lax.scan -------------
 
-    def _fused_device_loop(self, env, policy, roll, rl_cfg, params, key, t):
+    def _fused_device_loop(self, env, policy, roll, rl_cfg, params, key, t,
+                           opt_state=None, start: int = 0):
         """Run num_iterations in chunks of ``cfg.fuse`` fully-fused XLA
         programs (rl/train_scan.py); logs per-iteration metrics and
         checkpoints at chunk boundaries. -> (last iteration index,
@@ -195,9 +226,11 @@ class RLTrainer(Experiment):
         (KeyboardInterrupt-safe: updated after every chunk)."""
         cfg = self.cfg
         self._fused_params = params
+        self._fused_iteration = start
         scans: dict = {}  # chunk length -> compiled program (<=2 entries)
-        opt = None if self.algo == "trpo" else optax.adam(cfg.outer_lr)
-        opt_state = None if opt is None else opt.init(params)
+        opt = self._opt
+        if opt is not None and opt_state is None:
+            opt_state = opt.init(params)
         trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
                                  ls_max_steps=cfg.ls_max_steps,
                                  backtrack_factor=cfg.backtrack_factor)
@@ -256,8 +289,9 @@ class RLTrainer(Experiment):
             postfix=lambda ms: {name: float(v[-1])
                                 for name, v in ms.items()},
             save_ckpt=lambda state, i, k: self.save_model_checkpoint(
-                state[0], i, rng_key=k, async_write=cfg.async_ckpt),
-            progress=t, on_chunk=on_chunk)
+                state[0], i, opt_state=state[1], rng_key=k,
+                async_write=cfg.async_ckpt),
+            progress=t, on_chunk=on_chunk, start=start)
         self._fused_params = params
         return iteration, key
 
@@ -403,7 +437,7 @@ class RLTrainer(Experiment):
         if algo == "trpo":
             meta_step = self._make_trpo_meta_step(policy, rl_cfg)
         else:
-            opt = optax.adam(cfg.outer_lr)
+            opt = self._opt
             outer = self._make_adam_replay_outer(policy, rl_cfg, opt)
 
         def iteration(params, opt_state, key):
@@ -439,7 +473,7 @@ class RLTrainer(Experiment):
 
     def _make_host_adam_iteration(self, env, policy, roll, rl_cfg):
         cfg = self.cfg
-        opt = optax.adam(cfg.outer_lr)
+        opt = self._opt
         outer = self._make_adam_replay_outer(policy, rl_cfg, opt)
 
         def iteration(params, opt_state, key):
@@ -473,7 +507,7 @@ class RLTrainer(Experiment):
 
     def _make_adam_iteration(self, env, policy, roll, rl_cfg):
         cfg = self.cfg
-        opt = optax.adam(cfg.outer_lr)
+        opt = self._opt
         algo = self.algo
 
         if getattr(cfg, "mesh", 1) > 1:

@@ -124,6 +124,9 @@ class RLScriptConfig:
     task_batch: bool = False     # host envs: collect the whole meta-batch
                                  # through one meta_batch*episodes vec env
     async_ckpt: bool = False     # checkpoint writes on a background thread
+    resume: str = ""             # checkpoint .npz to resume from (params +
+                                 # opt state + RNG + iteration; new capability)
+    bf16: bool = False           # bf16 policy compute graph, f32 master params
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -174,4 +177,12 @@ def rl_argparser(defaults: RLScriptConfig,
     p.add_argument("--async_ckpt", action="store_true",
                    default=defaults.async_ckpt,
                    help="write checkpoints on a background thread")
+    p.add_argument("--resume", type=str, default=defaults.resume,
+                   help="checkpoint .npz to resume training from "
+                        "(restores params, optimizer state, RNG and "
+                        "iteration)")
+    p.add_argument("--bf16", action="store_true", default=defaults.bf16,
+                   help="mixed precision: run the policy compute graph in "
+                        "bf16 with f32 master params (accuracy parity-"
+                        "gated, see scripts/parity_check.py --rl ... --bf16)")
     return p

@@ -1,18 +1,28 @@
 #!/usr/bin/env python3
 """Accuracy-parity check: this framework vs a torch reproduction of the
-reference, trained on the SAME data.
+reference, trained on the SAME data / task distribution.
 
-The target (BASELINE.json) is meta-test accuracy within 0.5% of the
-PyTorch/learn2learn reference. Real Omniglot is unavailable in hermetic
-environments, so this check trains both implementations on the identical
-synthetic episodic dataset (same packed arrays, same split) with the same
-hyperparameters and compares meta-test accuracy over many tasks. The
-torch side reproduces the reference training step exactly (sequential
-per-task clone -> create_graph inner adapt -> query backward -> grad
-mean -> Adam; BN in train mode).
-
+Vision mode (default): the target (BASELINE.json) is meta-test accuracy
+within 0.5% of the PyTorch/learn2learn reference. Real Omniglot is
+unavailable in hermetic environments, so this check trains both
+implementations on the identical synthetic episodic dataset (same packed
+arrays, same split) with the same hyperparameters and compares meta-test
+accuracy over many tasks. The torch side reproduces the reference
+training step exactly (sequential per-task clone -> create_graph inner
+adapt -> query backward -> grad mean -> Adam; BN in train mode).
 Prints one JSON line:
   {"jax_acc": ..., "torch_acc": ..., "diff": ...}
+
+RL mode (``--rl trpo`` / ``--rl ppo``): trains this framework's
+MAML-TRPO / MAML-PPO alongside a torch reproduction of the reference
+algorithm (scripts/torch_rl_repro.py — reference
+``core_functions/rl.py:264-316,343-473``) on the same Particles2D task
+distribution with identical hyperparameters (independent RNG streams),
+then compares post-adaptation meta-test reward. Prints one JSON line:
+  {"jax_rew": ..., "torch_rew": ..., "jax_pre": ..., "torch_pre": ...,
+   "diff": ..., "rel_diff": ...}
+where ``rel_diff`` is the reward gap normalized by the mean improvement
+over the untrained policy (the meaningful scale for reward parity).
 """
 
 import argparse
@@ -23,6 +33,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # torch_rl_repro
 
 WAYS, SHOTS = 5, 1
 
@@ -154,18 +165,203 @@ def run_jax(train_ds, test_ds, iters, meta_batch, inner_lr, outer_lr,
     return float(np.mean(accs))
 
 
+# ---------------------------------------------------------------------------
+# RL parity: MAML-TRPO / MAML-PPO on Particles2D vs the torch reproduction
+# ---------------------------------------------------------------------------
+
+def default_rl_cfg(algo: str) -> dict:
+    """Shared hyperparameters for both implementations (Particles2D-scaled
+    versions of reference rl/maml_trpo.py:19-40 / rl/maml_ppo.py:19-37)."""
+    cfg = {
+        "inner_lr": 0.05, "gamma": 0.99, "tau": 1.0,
+        "adapt_steps": 1, "adapt_batch_size": 10, "max_path_length": 50,
+        "meta_batch_size": 10, "num_iterations": 30, "n_eval_tasks": 40,
+        # TRPO outer
+        "outer_lr": 0.3, "backtrack_factor": 0.5, "ls_max_steps": 15,
+        "max_kl": 0.05,
+        # PPO inner/outer
+        "ppo_epochs": 3, "ppo_clip_ratio": 0.3,
+    }
+    if algo == "ppo":
+        cfg["outer_lr"] = 3e-3  # Adam
+    return cfg
+
+
+def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
+               exact: bool = True):
+    """Train this framework's MAML-{TRPO,PPO} on device Particles2D with
+    the same building blocks the RLTrainer uses (trainers/rl.py
+    _make_trpo_iteration / _make_adam_iteration), then meta-test.
+    -> (post_reward, pre_reward).
+
+    ``exact=True`` runs the parity comparison under reference-exact
+    semantics (cherry's flat-replay-index baseline timestep,
+    RLConfig.flat_timestep); ``exact=False`` measures the framework's
+    default (within-episode timestep — the documented improvement)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    env = Particles2D()
+    policy = DiagNormalPolicy(input_size=2, output_size=2)
+    if bf16:  # bf16 compute graph in every policy application (RL --bf16)
+        policy = policy._replace(compute_dtype="bf16")
+    key = jax.random.key(seed)
+    key, ik = jax.random.split(key)
+    params = policy.init(ik)
+    rl_cfg = rl.RLConfig(
+        inner_lr=cfg["inner_lr"], gamma=cfg["gamma"], tau=cfg["tau"],
+        adapt_steps=cfg["adapt_steps"],
+        adapt_batch_size=cfg["adapt_batch_size"],
+        max_path_length=cfg["max_path_length"],
+        ppo_epochs=cfg["ppo_epochs"],
+        ppo_clip_ratio=cfg["ppo_clip_ratio"],
+        flat_timestep=exact)
+    roll = rl.make_rollout(env, policy.sample,
+                           episodes=cfg["adapt_batch_size"],
+                           horizon=cfg["max_path_length"])
+    mb = cfg["meta_batch_size"]
+
+    key, ek = jax.random.split(key)
+    pre = rl.meta_test(algo, "Particles2D-v1", policy, params, rl_cfg,
+                       n_tasks=cfg["n_eval_tasks"], key=ek,
+                       seed=seed)["mean_reward"]
+
+    if algo == "trpo":
+        trpo_cfg = rl.TRPOConfig(
+            outer_lr=cfg["outer_lr"], max_kl=cfg["max_kl"],
+            ls_max_steps=cfg["ls_max_steps"],
+            backtrack_factor=cfg["backtrack_factor"])
+        meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
+                                           adapt_steps=cfg["adapt_steps"])
+
+        @jax.jit
+        def collect(params, tasks_batch, keys):
+            def per_task(task, k):
+                adapted, _, replay, m = rl.fast_adapt_trpo(
+                    policy, params, roll, task, k, rl_cfg)
+                return adapted, jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *replay), m
+            return jax.vmap(per_task)(tasks_batch, keys)
+
+        for it in range(cfg["num_iterations"]):
+            key, tk, ak = jax.random.split(key, 3)
+            tasks_batch = env.sample_tasks(tk, mb)
+            keys = jax.random.split(ak, mb)
+            old_params, replays, m = collect(params, tasks_batch, keys)
+            params, _ = meta_step(params, old_params, replays)
+            if (it + 1) % 5 == 0:
+                print(f"jax trpo iter {it + 1}/{cfg['num_iterations']} "
+                      f"adapt_reward {float(jnp.mean(m['reward'])):.3f}",
+                      flush=True)
+    else:
+        opt = optax.adam(cfg["outer_lr"])
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def meta_step(params, opt_state, tasks_batch, keys):
+            def batch_loss(p):
+                def one(t, k):
+                    _, loss, m = rl.fast_adapt_ppo(policy, p, roll, t, k,
+                                                   rl_cfg)
+                    return loss, m["reward"]
+                losses, rews = jax.vmap(one)(tasks_batch, keys)
+                return jnp.mean(losses), jnp.mean(rews)
+            (_, rew), grads = jax.value_and_grad(
+                batch_loss, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, rew
+
+        for it in range(cfg["num_iterations"]):
+            key, tk, ak = jax.random.split(key, 3)
+            tasks_batch = env.sample_tasks(tk, mb)
+            keys = jax.random.split(ak, mb)
+            params, opt_state, rew = meta_step(params, opt_state,
+                                               tasks_batch, keys)
+            if (it + 1) % 5 == 0:
+                print(f"jax ppo iter {it + 1}/{cfg['num_iterations']} "
+                      f"adapt_reward {float(rew):.3f}", flush=True)
+
+    key, ek = jax.random.split(key)
+    post = rl.meta_test(algo, "Particles2D-v1", policy, params, rl_cfg,
+                        n_tasks=cfg["n_eval_tasks"], key=ek,
+                        seed=seed + 1)["mean_reward"]
+    return float(post), float(pre)
+
+
+def run_torch_rl(algo: str, cfg: dict, seed: int):
+    import torch_rl_repro as repro
+    if algo == "trpo":
+        return repro.train_maml_trpo(cfg, seed)
+    return repro.train_maml_ppo(cfg, seed)
+
+
+def rl_parity(args) -> None:
+    cfg = default_rl_cfg(args.rl)
+    cfg["num_iterations"] = args.iters
+    if args.meta_batch:
+        cfg["meta_batch_size"] = args.meta_batch
+    if args.eval_tasks:
+        cfg["n_eval_tasks"] = args.eval_tasks
+
+    jax_rew, jax_pre = run_jax_rl(args.rl, cfg, args.seed, bf16=args.bf16,
+                                  exact=not args.improved)
+    print(f"jax  {args.rl}: pre {jax_pre:.3f} -> post {jax_rew:.3f}",
+          flush=True)
+    torch_rew, torch_pre = run_torch_rl(args.rl, cfg, args.seed)
+    print(f"torch {args.rl}: pre {torch_pre:.3f} -> post {torch_rew:.3f}",
+          flush=True)
+
+    improvement = 0.5 * ((jax_rew - jax_pre) + (torch_rew - torch_pre))
+    diff = abs(jax_rew - torch_rew)
+    print(json.dumps({
+        "algo": args.rl,
+        "mode": "improved" if args.improved else "exact",
+        "jax_rew": round(jax_rew, 3), "torch_rew": round(torch_rew, 3),
+        "jax_pre": round(jax_pre, 3), "torch_pre": round(torch_pre, 3),
+        "diff": round(diff, 3),
+        "rel_diff": round(diff / abs(improvement), 4)
+        if improvement else None,
+    }))
+
+
 def main():
+    if os.environ.get("EMT_FORCE_CPU") == "1":
+        # Debug/smoke runs off-TPU. The axon sitecustomize pre-imports jax,
+        # but the backend is not initialized yet at script start, so this
+        # still takes effect (same trick as tests/conftest.py).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=150)
-    p.add_argument("--meta_batch", type=int, default=16)
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--meta_batch", type=int, default=None)
     p.add_argument("--inner_lr", type=float, default=0.5)
     p.add_argument("--outer_lr", type=float, default=0.003)
     p.add_argument("--adapt_steps", type=int, default=1)
-    p.add_argument("--eval_tasks", type=int, default=256)
+    p.add_argument("--eval_tasks", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--bf16", action="store_true",
                    help="gate the bf16-compute mode (trainer --bf16)")
+    p.add_argument("--rl", choices=["trpo", "ppo"], default=None,
+                   help="RL parity mode: MAML-TRPO/PPO on Particles2D vs "
+                        "the torch reference reproduction")
+    p.add_argument("--improved", action="store_true",
+                   help="RL mode: use the framework's default within-"
+                        "episode baseline timestep instead of the "
+                        "reference-exact flat replay index (measures the "
+                        "documented deviation's gain)")
     args = p.parse_args()
+
+    if args.rl:
+        args.iters = args.iters if args.iters is not None else 30
+        rl_parity(args)
+        return
+    args.iters = args.iters if args.iters is not None else 150
+    args.meta_batch = args.meta_batch or 16
+    args.eval_tasks = args.eval_tasks or 256
 
     from exploring_meta_tpu import tasks
     train_ds, _, test_ds = tasks.load_omniglot(seed=0, synthetic=True,

@@ -97,3 +97,30 @@ def test_random_baseline_host_ant(tmp_path):
     final = b.run()
     assert np.isfinite(final["mean_reward"])
     assert len(final["tasks_rewards"]) == 2
+
+
+def test_random_baseline_training_loop_artifacts(tmp_path):
+    """The reference random baseline RUNS a training loop (random.py:73-110):
+    per-iteration average_return metrics, policy + baseline checkpoints on
+    the save_every cadence, then a PPO-adapt meta-test (:112-115)."""
+    import json
+    import glob
+    from exploring_meta_tpu.trainers.baselines import RandomPolicyBaseline
+
+    cfg = RLScriptConfig(env="Particles2D-v1", num_iterations=3,
+                         meta_batch_size=2, adapt_batch_size=2,
+                         max_path_length=5, save_every=2, adapt_steps=1,
+                         inner_lr=0.05, n_eval_tasks=2, seed=0)
+    b = RandomPolicyBaseline(cfg, path=str(tmp_path) + "/")
+    final = b.run()
+    assert np.isfinite(final["mean_reward"])
+    with open(os.path.join(b.model_path, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert len(metrics["average_return"]) == 3
+    assert "test_reward" in metrics
+    ckpts = sorted(glob.glob(os.path.join(b.model_path, "model_checkpoints",
+                                          "model_*.npz")))
+    bl = sorted(glob.glob(os.path.join(b.model_path, "model_checkpoints",
+                                       "baseline_*.npz")))
+    assert len(ckpts) == 2 and len(bl) == 2  # iterations 0 and 2
+    assert os.path.exists(os.path.join(b.model_path, "baseline.npz"))
