@@ -426,6 +426,10 @@ def measure_tpu_trpo_particles() -> float:
     TASKS, ITERS = 20, 10
     env = Particles2D()
     policy = DiagNormalPolicy(input_size=2, output_size=2)
+    if os.environ.get("EMT_BENCH_BF16") == "1":
+        # RL --bf16 mode: policy compute graphs in bf16, f32 master params
+        # (parity-gated via scripts/parity_check.py --rl trpo --bf16).
+        policy = policy._replace(compute_dtype="bf16")
     params = policy.init(jax.random.key(0))
     rl_cfg = rl.RLConfig(inner_lr=0.05, gamma=0.99, tau=1.0, adapt_steps=1,
                          adapt_batch_size=20, max_path_length=100)
@@ -607,20 +611,41 @@ def _cached_baseline(name: str, fn) -> float:
     return cache[name]
 
 
-def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--config", choices=sorted(CONFIGS), default="maml_omni")
-    args = p.parse_args()
-    cfg = CONFIGS[args.config]
-
-    baseline = _cached_baseline(args.config, cfg["baseline"])
+def run_config(name: str) -> dict:
+    cfg = CONFIGS[name]
+    baseline = _cached_baseline(name, cfg["baseline"])
     value = cfg["measure"]()
-    print(json.dumps({
+    return {
         "metric": cfg["metric"],
         "value": round(value, 2),
         "unit": cfg["unit"],
         "vs_baseline": round(value / baseline, 2),
-    }))
+    }
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", choices=sorted(CONFIGS), default="maml_omni")
+    p.add_argument("--all", action="store_true",
+                   help="run EVERY config (one JSON line each) and record "
+                        "them all in BENCH_FULL.json; the bare invocation "
+                        "keeps the driver's one-line contract")
+    args = p.parse_args()
+
+    if args.all:
+        results = []
+        for name in sorted(CONFIGS):
+            print(f"--- {name}", flush=True)
+            line = {"config": name, **run_config(name)}
+            results.append(line)
+            print(json.dumps(line), flush=True)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+        return
+
+    print(json.dumps(run_config(args.config)))
 
 
 if __name__ == "__main__":

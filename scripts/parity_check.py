@@ -38,70 +38,130 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # torch_rl_repro
 WAYS, SHOTS = 5, 1
 
 
-def sample_np_task(rng, images, ways, shots):
+def sample_np_task(rng, images, ways, shots, invert=True, rotations=True):
     """Host-side task sampler with the same episodic semantics (class-major,
-    even/odd support/query interleave) for the torch side."""
+    even/odd support/query interleave) for the torch side. ``invert`` and
+    ``rotations`` are Omniglot-only transforms (reference
+    ``utils/data_pre.py:17-35`` vs the plain Mini-ImageNet pipeline)."""
     n_cls, n_per = images.shape[0], images.shape[1]
     cls = rng.choice(n_cls, ways, replace=False)
     data, labels = [], []
     for c_new, c in enumerate(cls):
         smp = rng.choice(n_per, 2 * shots, replace=False)
         imgs = images[c, smp].astype(np.float32) / 255.0
-        imgs = 1.0 - imgs
-        k = rng.integers(0, 4)
-        imgs = np.rot90(imgs, k, axes=(1, 2)).copy()
+        if invert:
+            imgs = 1.0 - imgs
+        if rotations:
+            k = rng.integers(0, 4)
+            imgs = np.rot90(imgs, k, axes=(1, 2)).copy()
         data.append(imgs)
         labels += [c_new] * 2 * shots
-    data = np.concatenate(data)  # [ways*2s, H, W, 1]
+    data = np.concatenate(data)  # [ways*2s, H, W, C]
     labels = np.array(labels)
     idx_s = np.arange(shots * ways) * 2
     idx_q = idx_s + 1
     return (data[idx_s], labels[idx_s]), (data[idx_q], labels[idx_q])
 
 
-def run_torch(images_train, images_test, iters, meta_batch, inner_lr,
-              outer_lr, adapt_steps, eval_tasks, seed):
-    import torch
-    torch.manual_seed(seed)
-    rng = np.random.default_rng(seed)
-
+def _torch_conv_base(torch, in_ch, hidden, max_pool):
+    """Reference ConvBase (vision_models.py:121-193): conv3x3 (stride 2
+    when not max-pooling) -> BN(affine, U(0,1) weight) -> ReLU
+    [-> maxpool2]; conv init xavier-uniform + zero bias."""
     blocks = []
-    in_ch = 1
     for _ in range(4):
-        blocks += [torch.nn.Conv2d(in_ch, 64, 3, stride=2, padding=1),
-                   torch.nn.BatchNorm2d(64, affine=True),
-                   torch.nn.ReLU()]
-        in_ch = 64
+        conv = torch.nn.Conv2d(in_ch, hidden, 3,
+                               stride=1 if max_pool else 2, padding=1)
+        torch.nn.init.xavier_uniform_(conv.weight)
+        torch.nn.init.zeros_(conv.bias)
+        bn = torch.nn.BatchNorm2d(hidden, affine=True)
+        torch.nn.init.uniform_(bn.weight)
+        blocks += [conv, bn, torch.nn.ReLU()]
+        if max_pool:
+            blocks.append(torch.nn.MaxPool2d(2, 2))
+        in_ch = hidden
+    return torch.nn.Sequential(*blocks)
 
-    class Model(torch.nn.Module):
+
+def build_torch_model(torch, dataset: str, anil: bool):
+    """Faithful torch builds of the four reference vision configurations:
+    OmniglotCNN (vision_models.py:10-63), MiniImagenetCNN (:66-118), and
+    the two ANIL feature/head splits (vision/anil_vision.py:85-94).
+    -> (model, forward(params, x)) with model.head the inner-loop target
+    for ANIL."""
+
+    class MamlOmni(torch.nn.Module):
+        """64ch stride-2 ConvBase -> global spatial mean -> Linear(64, ways)
+        with N(0,1) weight (vision_models.py:38-55)."""
+
         def __init__(self):
             super().__init__()
-            self.base = torch.nn.Sequential(*blocks)
+            self.base = _torch_conv_base(torch, 1, 64, max_pool=False)
             self.head = torch.nn.Linear(64, WAYS)
-            torch.nn.init.xavier_uniform_(self.head.weight)  # use normal? ref: normal_()
             with torch.no_grad():
                 self.head.weight.normal_()
                 self.head.bias.zero_()
-            for m in self.base:
-                if isinstance(m, torch.nn.Conv2d):
-                    torch.nn.init.xavier_uniform_(m.weight)
-                    torch.nn.init.zeros_(m.bias)
-                if isinstance(m, torch.nn.BatchNorm2d):
-                    torch.nn.init.uniform_(m.weight)
 
         def forward(self, x):
             return self.head(self.base(x).mean(dim=[2, 3]))
 
-    model = Model().train()
+    class MamlMin(torch.nn.Module):
+        """32ch maxpool ConvBase -> flatten 800 -> maml_init_ Linear
+        (vision_models.py:93-110)."""
+
+        def __init__(self):
+            super().__init__()
+            self.base = _torch_conv_base(torch, 3, 32, max_pool=True)
+            self.head = torch.nn.Linear(800, WAYS)
+            torch.nn.init.xavier_uniform_(self.head.weight)
+            torch.nn.init.zeros_(self.head.bias)
+
+        def forward(self, x):
+            return self.head(self.base(x).flatten(1))
+
+    class Anil(torch.nn.Module):
+        """ConvBase features + flatten + torch-default Linear head
+        (anil_vision.py:85-94: omni hidden=32 stride-2 -> 128; min
+        hidden=64 maxpool -> 1600; head built raw, keeping torch's
+        default kaiming-uniform init)."""
+
+        def __init__(self, channels, hidden, max_pool, fc):
+            super().__init__()
+            self.base = _torch_conv_base(torch, channels, hidden, max_pool)
+            self.head = torch.nn.Linear(fc, WAYS)
+
+        def features(self, x):
+            return self.base(x).flatten(1)
+
+        def forward(self, x):
+            return self.head(self.features(x))
+
+    if anil:
+        model = (Anil(1, 32, False, 128) if dataset == "omni"
+                 else Anil(3, 64, True, 1600))
+    else:
+        model = MamlOmni() if dataset == "omni" else MamlMin()
+    return model.train()
+
+
+def run_torch(images_train, images_test, iters, meta_batch, inner_lr,
+              outer_lr, adapt_steps, eval_tasks, seed, dataset="omni",
+              anil=False):
+    import torch
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+    is_omni = dataset == "omni"
+
+    model = build_torch_model(torch, dataset, anil)
     opt = torch.optim.Adam(model.parameters(), lr=outer_lr)
     loss_fn = torch.nn.CrossEntropyLoss()
 
-    def adapt_and_query(params, support, query, track_higher):
+    def to_t(x):
+        return torch.tensor(x.transpose(0, 3, 1, 2))
+
+    def adapt_and_query_maml(params, support, query, track_higher):
         (xs, ys), (xq, yq) = support, query
-        xs = torch.tensor(xs.transpose(0, 3, 1, 2))
-        xq = torch.tensor(xq.transpose(0, 3, 1, 2))
-        ys = torch.tensor(ys)
-        yq = torch.tensor(yq)
+        xs, xq = to_t(xs), to_t(xq)
+        ys, yq = torch.tensor(ys), torch.tensor(yq)
         cur = params
         for _ in range(adapt_steps):
             loss = loss_fn(torch.func.functional_call(model, cur, (xs,)), ys)
@@ -114,10 +174,57 @@ def run_torch(images_train, images_test, iters, meta_batch, inner_lr,
         acc = (logits.argmax(1) == yq).float().mean().item()
         return q_loss, acc
 
+    class FeatWrap(torch.nn.Module):
+        """Module view exposing only the feature path (base.*)."""
+
+        def __init__(self, inner):
+            super().__init__()
+            self.base = inner.base
+
+        def forward(self, x):
+            return self.base(x).flatten(1)
+
+    def adapt_and_query_anil(params, support, query, track_higher):
+        # prepare_batch(features=...) encodes the WHOLE 2NK batch in one
+        # pass (shared BN statistics over support+query, data_pre.py:118),
+        # then the inner loop adapts ONLY the head on those features
+        # (anil_vision.py:93-99); the body graph is kept so meta-grads
+        # reach it through both the head update and the query loss.
+        (xs, ys), (xq, yq) = support, query
+        n_s = xs.shape[0]
+        x_all = to_t(np.concatenate([xs, xq]))
+        ys, yq = torch.tensor(ys), torch.tensor(yq)
+        base_params = {k: v for k, v in params.items()
+                       if k.startswith("base.")}
+        head_params = {k.split(".", 1)[1]: v for k, v in params.items()
+                       if k.startswith("head.")}
+        f_all = torch.func.functional_call(
+            FeatWrap(model), base_params, (x_all,))
+        f_s, f_q = f_all[:n_s], f_all[n_s:]
+        cur = head_params
+        for _ in range(adapt_steps):
+            logits = torch.nn.functional.linear(f_s, cur["weight"],
+                                                cur["bias"])
+            loss = loss_fn(logits, ys)
+            grads = torch.autograd.grad(loss, list(cur.values()),
+                                        create_graph=track_higher)
+            cur = {n: p - inner_lr * g
+                   for (n, p), g in zip(cur.items(), grads)}
+        logits = torch.nn.functional.linear(f_q, cur["weight"], cur["bias"])
+        q_loss = loss_fn(logits, yq)
+        acc = (logits.argmax(1) == yq).float().mean().item()
+        return q_loss, acc
+
+    adapt_and_query = adapt_and_query_anil if anil else adapt_and_query_maml
+
+    def sample(images):
+        return sample_np_task(rng, images, WAYS, SHOTS,
+                              invert=is_omni, rotations=is_omni)
+
     for it in range(iters):
         opt.zero_grad()
         for _ in range(meta_batch):
-            task = sample_np_task(rng, images_train, WAYS, SHOTS)
+            task = sample(images_train)
             params = dict(model.named_parameters())
             q_loss, _ = adapt_and_query(params, *task, track_higher=True)
             (q_loss / meta_batch).backward()
@@ -127,7 +234,7 @@ def run_torch(images_train, images_test, iters, meta_batch, inner_lr,
 
     accs = []
     for _ in range(eval_tasks):
-        task = sample_np_task(rng, images_test, WAYS, SHOTS)
+        task = sample(images_test)
         params = {n: p.detach().clone().requires_grad_(True)
                   for n, p in model.named_parameters()}
         _, acc = adapt_and_query(params, *task, track_higher=False)
@@ -136,17 +243,23 @@ def run_torch(images_train, images_test, iters, meta_batch, inner_lr,
 
 
 def run_jax(train_ds, test_ds, iters, meta_batch, inner_lr, outer_lr,
-            adapt_steps, eval_tasks, seed, bf16=False):
+            adapt_steps, eval_tasks, seed, bf16=False, dataset="omni",
+            anil=False):
     import jax
     import optax
     from exploring_meta_tpu import adapt, models, tasks
 
-    spec = models.omniglot_spec(ways=WAYS)
+    if dataset == "omni":
+        spec = (models.anil_omniglot_spec(ways=WAYS) if anil
+                else models.omniglot_spec(ways=WAYS))
+    else:
+        spec = (models.anil_mini_imagenet_spec(ways=WAYS) if anil
+                else models.mini_imagenet_spec(ways=WAYS))
     key = jax.random.key(seed)
     key, ik = jax.random.split(key)
     params = models.init_cnn4(ik, spec)
     fa = adapt.make_vision_fast_adapt(spec, inner_lr, adapt_steps, SHOTS,
-                                      WAYS)
+                                      WAYS, anil=anil)
     if bf16:  # mixed precision: bf16 compute graph, f32 master params
         fa = adapt.cast_compute(fa)
     opt = optax.adam(outer_lr)
@@ -353,6 +466,13 @@ def main():
                         "episode baseline timestep instead of the "
                         "reference-exact flat replay index (measures the "
                         "documented deviation's gain)")
+    p.add_argument("--dataset", choices=["omni", "min"], default="omni",
+                   help="vision mode: Omniglot-shaped (28x28x1 stride-2 "
+                        "CNN4) or Mini-ImageNet-shaped (84x84x3 maxpool "
+                        "CNN4) synthetic data")
+    p.add_argument("--anil", action="store_true",
+                   help="vision mode: ANIL (frozen-body head-only inner "
+                        "loop, reference vision/anil_vision.py:86-99)")
     args = p.parse_args()
 
     if args.rl:
@@ -364,22 +484,29 @@ def main():
     args.eval_tasks = args.eval_tasks or 256
 
     from exploring_meta_tpu import tasks
-    train_ds, _, test_ds = tasks.load_omniglot(seed=0, synthetic=True,
-                                               synthetic_classes=160)
+    if args.dataset == "omni":
+        train_ds, _, test_ds = tasks.load_omniglot(seed=0, synthetic=True,
+                                                   synthetic_classes=160)
+    else:
+        train_ds, _, test_ds = tasks.load_mini_imagenet(seed=0,
+                                                        synthetic=True)
     imgs_train = np.asarray(train_ds.images)
     imgs_test = np.asarray(test_ds.images)
 
     jax_acc = run_jax(train_ds, test_ds, args.iters, args.meta_batch,
                       args.inner_lr, args.outer_lr, args.adapt_steps,
-                      args.eval_tasks, args.seed, bf16=args.bf16)
+                      args.eval_tasks, args.seed, bf16=args.bf16,
+                      dataset=args.dataset, anil=args.anil)
     print(f"jax meta-test acc: {jax_acc:.4f}", flush=True)
 
     torch_acc = run_torch(imgs_train, imgs_test, args.iters,
                           args.meta_batch, args.inner_lr, args.outer_lr,
-                          args.adapt_steps, args.eval_tasks, args.seed)
+                          args.adapt_steps, args.eval_tasks, args.seed,
+                          dataset=args.dataset, anil=args.anil)
     print(f"torch meta-test acc: {torch_acc:.4f}", flush=True)
 
-    print(json.dumps({"jax_acc": round(jax_acc, 4),
+    print(json.dumps({"dataset": args.dataset, "anil": args.anil,
+                      "jax_acc": round(jax_acc, 4),
                       "torch_acc": round(torch_acc, 4),
                       "diff": round(abs(jax_acc - torch_acc), 4)}))
 
