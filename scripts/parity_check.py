@@ -301,7 +301,7 @@ def default_rl_cfg(algo: str) -> dict:
 
 
 def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
-               exact: bool = True):
+               exact: bool = True, anil: bool = False):
     """Train this framework's MAML-{TRPO,PPO} on device Particles2D with
     the same building blocks the RLTrainer uses (trainers/rl.py
     _make_trpo_iteration / _make_adam_iteration), then meta-test.
@@ -316,10 +316,14 @@ def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
     import optax
     from exploring_meta_tpu import rl
     from exploring_meta_tpu.envs import Particles2D
-    from exploring_meta_tpu.models import DiagNormalPolicy
+    from exploring_meta_tpu.models import DiagNormalPolicy, DiagNormalPolicyANIL
 
     env = Particles2D()
-    policy = DiagNormalPolicy(input_size=2, output_size=2)
+    if anil:  # tanh body + head/sigma-only inner updates (anil_trpo.py)
+        policy = DiagNormalPolicyANIL(input_size=2, output_size=2,
+                                      fc_neurons=100)
+    else:
+        policy = DiagNormalPolicy(input_size=2, output_size=2)
     if bf16:  # bf16 compute graph in every policy application (RL --bf16)
         policy = policy._replace(compute_dtype="bf16")
     key = jax.random.key(seed)
@@ -332,7 +336,7 @@ def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
         max_path_length=cfg["max_path_length"],
         ppo_epochs=cfg["ppo_epochs"],
         ppo_clip_ratio=cfg["ppo_clip_ratio"],
-        flat_timestep=exact)
+        anil=anil, flat_timestep=exact)
     roll = rl.make_rollout(env, policy.sample,
                            episodes=cfg["adapt_batch_size"],
                            horizon=cfg["max_path_length"])
@@ -420,8 +424,9 @@ def rl_parity(args) -> None:
     if args.eval_tasks:
         cfg["n_eval_tasks"] = args.eval_tasks
 
+    cfg["anil"] = args.anil
     jax_rew, jax_pre = run_jax_rl(args.rl, cfg, args.seed, bf16=args.bf16,
-                                  exact=not args.improved)
+                                  exact=not args.improved, anil=args.anil)
     print(f"jax  {args.rl}: pre {jax_pre:.3f} -> post {jax_rew:.3f}",
           flush=True)
     torch_rew, torch_pre = run_torch_rl(args.rl, cfg, args.seed)
@@ -432,6 +437,7 @@ def rl_parity(args) -> None:
     diff = abs(jax_rew - torch_rew)
     print(json.dumps({
         "algo": args.rl,
+        "anil": args.anil,
         "mode": "improved" if args.improved else "exact",
         "jax_rew": round(jax_rew, 3), "torch_rew": round(torch_rew, 3),
         "jax_pre": round(jax_pre, 3), "torch_pre": round(torch_pre, 3),
@@ -471,8 +477,9 @@ def main():
                         "CNN4) or Mini-ImageNet-shaped (84x84x3 maxpool "
                         "CNN4) synthetic data")
     p.add_argument("--anil", action="store_true",
-                   help="vision mode: ANIL (frozen-body head-only inner "
-                        "loop, reference vision/anil_vision.py:86-99)")
+                   help="ANIL: frozen-body head-only inner loop. Vision "
+                        "mode (reference vision/anil_vision.py:86-99) and "
+                        "RL mode (DiagNormalPolicyANIL, rl/anil_*.py)")
     args = p.parse_args()
 
     if args.rl:

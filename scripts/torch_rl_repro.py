@@ -60,8 +60,17 @@ def sample_tasks(rng: np.random.Generator, n: int) -> np.ndarray:
 # Policy (functional param dict; architecture/init = policies.py:30-67)
 # ---------------------------------------------------------------------------
 
+ANIL = False  # module switch: DiagNormalPolicyANIL semantics
+              # (tanh body, head+sigma-only inner updates with a no-grad
+              # body pass — reference policies.py:70-126)
+
+
 def init_policy(gen: torch.Generator, obs: int = 2, act: int = 2,
                 hidden: int = 100) -> dict:
+    """Both reference policies share this param structure and init
+    (linear_init = xavier-uniform + zero bias on every layer, sigma 0):
+    DiagNormalPolicy (relu) and DiagNormalPolicyANIL (tanh body w1/w2 +
+    head w3)."""
     def lin(i, o):
         w = torch.empty(o, i)
         torch.nn.init.xavier_uniform_(w, generator=gen)
@@ -75,9 +84,13 @@ def init_policy(gen: torch.Generator, obs: int = 2, act: int = 2,
             "sigma": sigma}
 
 
-def policy_loc(p: dict, states: torch.Tensor) -> torch.Tensor:
-    h = torch.relu(states @ p["w1"].T + p["b1"])
-    h = torch.relu(h @ p["w2"].T + p["b2"])
+def policy_loc(p: dict, states: torch.Tensor,
+               body_detach: bool = False) -> torch.Tensor:
+    act = torch.tanh if ANIL else torch.relu
+    h = act(states @ p["w1"].T + p["b1"])
+    h = act(h @ p["w2"].T + p["b2"])
+    if body_detach:  # turn_off_body_grads: no-grad body pass (:100-106)
+        h = h.detach()
     return h @ p["w3"].T + p["b3"]
 
 
@@ -85,19 +98,22 @@ def policy_scale(p: dict) -> torch.Tensor:
     return torch.exp(torch.clamp(p["sigma"], min=math.log(EPSILON)))
 
 
-def policy_density(p: dict, states: torch.Tensor):
-    loc = policy_loc(p, states)
+def policy_density(p: dict, states: torch.Tensor,
+                   body_detach: bool = False):
+    loc = policy_loc(p, states, body_detach)
     return torch.distributions.Normal(loc=loc, scale=policy_scale(p))
 
 
-def policy_log_prob(p: dict, states, actions) -> torch.Tensor:
+def policy_log_prob(p: dict, states, actions,
+                    body_detach: bool = False) -> torch.Tensor:
     """Mean (not sum) over action dims — the reference quirk
     (policies.py:54-56)."""
-    return policy_density(p, states).log_prob(actions).mean(
+    return policy_density(p, states, body_detach).log_prob(actions).mean(
         dim=1, keepdim=True)
 
 
 PARAM_ORDER = ("w1", "b1", "w2", "b2", "w3", "b3", "sigma")
+HEAD_ORDER = ("w3", "b3", "sigma")  # ANIL inner-trainable leaves
 
 
 def params_list(p: dict) -> list:
@@ -106,6 +122,20 @@ def params_list(p: dict) -> list:
 
 def from_list(vals) -> dict:
     return dict(zip(PARAM_ORDER, vals))
+
+
+def inner_params(p: dict) -> list:
+    """The leaves the inner loop updates: all (MAML) or head+sigma
+    (ANIL — body grads are None under allow_unused)."""
+    return [p[k] for k in (HEAD_ORDER if ANIL else PARAM_ORDER)]
+
+
+def inner_update(p: dict, grads, lr: float) -> dict:
+    names = HEAD_ORDER if ANIL else PARAM_ORDER
+    out = dict(p)
+    for n, g in zip(names, grads):
+        out[n] = out[n] - lr * g
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -236,8 +266,9 @@ def ch_normalize(x: torch.Tensor, epsilon: float = 1e-8) -> torch.Tensor:
 # TRPO (rl.py:343-473)
 # ---------------------------------------------------------------------------
 
-def trpo_a2c_loss(ep, p, baseline, gamma, tau, update_vf=True):
-    log_probs = policy_log_prob(p, ep["states"], ep["actions"])
+def trpo_a2c_loss(ep, p, baseline, gamma, tau, update_vf=True,
+                  body_detach=False):
+    log_probs = policy_log_prob(p, ep["states"], ep["actions"], body_detach)
     adv = compute_advantages(baseline, tau, gamma, ep["rewards"],
                              ep["dones"], ep["states"], ep["next_states"],
                              update_vf=update_vf)
@@ -246,12 +277,13 @@ def trpo_a2c_loss(ep, p, baseline, gamma, tau, update_vf=True):
 
 
 def trpo_update(ep, p, baseline, inner_lr, gamma, tau, second_order):
-    loss = trpo_a2c_loss(ep, p, baseline, gamma, tau)
-    grads = torch.autograd.grad(loss, params_list(p),
+    """Inner MAML step (rl.py:361-374); under ANIL the body pass is
+    no-grad and only head+sigma move (allow_unused semantics)."""
+    loss = trpo_a2c_loss(ep, p, baseline, gamma, tau, body_detach=ANIL)
+    grads = torch.autograd.grad(loss, inner_params(p),
                                 retain_graph=second_order,
                                 create_graph=second_order)
-    return from_list([q - inner_lr * g
-                      for q, g in zip(params_list(p), grads)])
+    return inner_update(p, grads, inner_lr)
 
 
 def fast_adapt_trpo(p, goal, baseline, cfg, gen):
@@ -385,14 +417,13 @@ def fast_adapt_ppo(p, goal, baseline, cfg, gen, second_order=True):
                                      support["actions"])
         for _ in range(cfg["ppo_epochs"]):
             new_lp = policy_log_prob(cur, support["states"],
-                                     support["actions"])
+                                     support["actions"], body_detach=ANIL)
             loss = ppo_clip_loss(new_lp, old_lp, adv,
                                  cfg["ppo_clip_ratio"])
-            grads = torch.autograd.grad(loss, params_list(cur),
+            grads = torch.autograd.grad(loss, inner_params(cur),
                                         retain_graph=second_order,
                                         create_graph=second_order)
-            cur = from_list([q - cfg["inner_lr"] * g
-                             for q, g in zip(params_list(cur), grads)])
+            cur = inner_update(cur, grads, cfg["inner_lr"])
 
     query = collect_episodes(cur, goal, cfg["adapt_batch_size"],
                              cfg["max_path_length"], gen)
@@ -430,6 +461,8 @@ def evaluate(algo: str, p, baseline, cfg, rng, gen, n_tasks: int) -> float:
 
 def train_maml_trpo(cfg: dict, seed: int, log_every: int = 5):
     """-> (final meta-test reward, pre-training meta-test reward)."""
+    global ANIL
+    ANIL = bool(cfg.get("anil", False))
     rng = np.random.default_rng(seed)
     gen = torch.Generator().manual_seed(seed)
     p = init_policy(gen)
@@ -457,6 +490,8 @@ def train_maml_trpo(cfg: dict, seed: int, log_every: int = 5):
 
 
 def train_maml_ppo(cfg: dict, seed: int, log_every: int = 5):
+    global ANIL
+    ANIL = bool(cfg.get("anil", False))
     rng = np.random.default_rng(seed)
     gen = torch.Generator().manual_seed(seed)
     p = init_policy(gen)

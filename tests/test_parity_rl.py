@@ -45,3 +45,73 @@ def test_rl_parity_harness_end_to_end(algo):
     # Training must not blow up relative to the untrained policy.
     assert jax_post > jax_pre - 5.0
     assert torch_post > torch_pre - 5.0
+
+
+def test_flat_timestep_advantages_match_torch_oracle():
+    """RLConfig.flat_timestep=True must reproduce cherry's advantage
+    pipeline EXACTLY (flat concatenated-replay row index as the baseline
+    time feature, same index for next-state values): compare against the
+    torch reproduction on a real rollout with early terminations."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch_rl_repro as repro
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    env = Particles2D()
+    policy = DiagNormalPolicy(input_size=2, output_size=2, hiddens=(8, 8))
+    params = policy.init(jax.random.key(0))
+    cfg = rl.RLConfig(gamma=0.9, tau=0.95, adapt_batch_size=4,
+                      max_path_length=6, flat_timestep=True)
+
+    # Mixed-length episodes: 2 slots under the stochastic policy (run the
+    # full horizon) + 2 under a near-deterministic stay-at-origin policy
+    # with the goal AT the origin (terminate at step 1).
+    roll2 = rl.make_rollout(env, policy.sample, episodes=2, horizon=6)
+    t_far = jnp.array([0.4, -0.3])
+    traj_far = roll2(params, t_far, jax.random.key(5))
+    still = jax.tree_util.tree_map(jnp.zeros_like, params)
+    still = dict(still, sigma=jnp.full((2,), -30.0))  # scale -> 1e-6 clamp
+    t_origin = jnp.array([0.0, 0.0])
+    traj_near = roll2(still, t_origin, jax.random.key(6))
+
+    from exploring_meta_tpu.rl.rollout import Trajectory
+    traj = Trajectory(*[jnp.concatenate([a, b], axis=1)
+                        for a, b in zip(traj_far, traj_near)])
+    assert float(jnp.sum(traj.valid)) < 24, "want early-done episodes"
+
+    adv, _ = rl.traj_advantages(traj, cfg)
+
+    # Episode-major concatenation of REAL steps only (runner.py layout).
+    v = np.asarray(traj.valid, bool)
+    ep = {"states": [], "actions": [], "rewards": [], "dones": [],
+          "next_states": []}
+    for e in range(4):
+        for t in range(6):
+            if v[t, e]:
+                ep["states"].append(np.asarray(traj.state[t, e]))
+                ep["actions"].append(np.asarray(traj.action[t, e]))
+                ep["rewards"].append(float(traj.reward[t, e]))
+                ep["dones"].append(float(traj.done[t, e]))
+                ep["next_states"].append(np.asarray(traj.next_state[t, e]))
+    tens = {
+        "states": torch.tensor(np.array(ep["states"]), dtype=torch.float32),
+        "next_states": torch.tensor(np.array(ep["next_states"]),
+                                    dtype=torch.float32),
+        "rewards": torch.tensor(ep["rewards"]).view(-1, 1),
+        "dones": torch.tensor(ep["dones"]).view(-1, 1),
+    }
+    baseline = repro.LinearValue(2)
+    ref = repro.compute_advantages(
+        baseline, cfg.tau, cfg.gamma, tens["rewards"], tens["dones"],
+        tens["states"], tens["next_states"]).detach().numpy().ravel()
+
+    ours = []
+    a = np.asarray(adv)
+    for e in range(4):
+        for t in range(6):
+            if v[t, e]:
+                ours.append(a[t, e])
+    np.testing.assert_allclose(np.array(ours), ref, rtol=2e-3, atol=2e-4)

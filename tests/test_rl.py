@@ -202,20 +202,23 @@ class TestEndToEndRL:
         before = rl.evaluate("trpo", policy, params, env, roll, cfg,
                              n_tasks=10, key=jax.random.key(99))
 
-        for it in range(5):
-            key, tk = jax.random.split(key)
-            tasks_batch = env.sample_tasks(tk, 8)
-            replays, old_stack = [], []
-            for i in range(8):
-                key, k = jax.random.split(key)
-                t = jax.tree_util.tree_map(lambda x: x[i], tasks_batch)
+        @jax.jit
+        def collect(params, tasks_batch, keys):
+            # vmapped collection, as the trainer does (trainers/rl.py
+            # _make_trpo_iteration) — one XLA program per iteration
+            # instead of 8 eager fast_adapt dispatches.
+            def per_task(t, k):
                 adapted, _, replay, _ = rl.fast_adapt_trpo(
                     policy, params, roll, t, k, cfg)
-                replays.append(replay)
-                old_stack.append(adapted)
-            stacked = rl.stack_replays(replays)
-            old_params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                                *old_stack)
+                return adapted, jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *replay)
+            return jax.vmap(per_task)(tasks_batch, keys)
+
+        for it in range(5):
+            key, tk, ak = jax.random.split(key, 3)
+            tasks_batch = env.sample_tasks(tk, 8)
+            keys = jax.random.split(ak, 8)
+            old_params, stacked = collect(params, tasks_batch, keys)
             params, info = meta_step(params, old_params, stacked)
 
         after = rl.evaluate("trpo", policy, params, env, roll, cfg,
