@@ -342,9 +342,11 @@ def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
                            horizon=cfg["max_path_length"])
     mb = cfg["meta_batch_size"]
 
-    key, ek = jax.random.split(key)
+    # Paired evaluation: pre and post share ONE eval key -> identical
+    # task draws and rollout seeds, so the difference isolates training.
+    eval_key = jax.random.key(seed + 1000)
     pre = rl.meta_test(algo, "Particles2D-v1", policy, params, rl_cfg,
-                       n_tasks=cfg["n_eval_tasks"], key=ek,
+                       n_tasks=cfg["n_eval_tasks"], key=eval_key,
                        seed=seed)["mean_reward"]
 
     if algo == "trpo":
@@ -402,10 +404,9 @@ def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
                 print(f"jax ppo iter {it + 1}/{cfg['num_iterations']} "
                       f"adapt_reward {float(rew):.3f}", flush=True)
 
-    key, ek = jax.random.split(key)
     post = rl.meta_test(algo, "Particles2D-v1", policy, params, rl_cfg,
-                        n_tasks=cfg["n_eval_tasks"], key=ek,
-                        seed=seed + 1)["mean_reward"]
+                        n_tasks=cfg["n_eval_tasks"], key=eval_key,
+                        seed=seed)["mean_reward"]
     return float(post), float(pre)
 
 

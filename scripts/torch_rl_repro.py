@@ -468,8 +468,15 @@ def train_maml_trpo(cfg: dict, seed: int, log_every: int = 5):
     p = init_policy(gen)
     baseline = LinearValue(2)
 
-    pre = evaluate("trpo", p, baseline, cfg, rng, gen,
-                   cfg["n_eval_tasks"])
+    def paired_eval(params):
+        # Same eval task draws + rollout seeds pre and post (cf. the jax
+        # side's shared eval_key) — the difference isolates training.
+        return evaluate("trpo", params, baseline, cfg,
+                        np.random.default_rng(seed + 1000),
+                        torch.Generator().manual_seed(seed + 1000),
+                        cfg["n_eval_tasks"])
+
+    pre = paired_eval(p)
     for it in range(cfg["num_iterations"]):
         goals = sample_tasks(rng, cfg["meta_batch_size"])
         iter_replays, iter_policies, rews = [], [], []
@@ -484,8 +491,7 @@ def train_maml_trpo(cfg: dict, seed: int, log_every: int = 5):
         if (it + 1) % log_every == 0:
             print(f"torch trpo iter {it + 1}/{cfg['num_iterations']} "
                   f"adapt_reward {np.mean(rews):.3f}", flush=True)
-    post = evaluate("trpo", p, baseline, cfg, rng, gen,
-                    cfg["n_eval_tasks"])
+    post = paired_eval(p)
     return post, pre
 
 
@@ -498,7 +504,13 @@ def train_maml_ppo(cfg: dict, seed: int, log_every: int = 5):
     baseline = LinearValue(2)
     opt = torch.optim.Adam(params_list(p), lr=cfg["outer_lr"])
 
-    pre = evaluate("ppo", p, baseline, cfg, rng, gen, cfg["n_eval_tasks"])
+    def paired_eval(params):
+        return evaluate("ppo", params, baseline, cfg,
+                        np.random.default_rng(seed + 1000),
+                        torch.Generator().manual_seed(seed + 1000),
+                        cfg["n_eval_tasks"])
+
+    pre = paired_eval(p)
     for it in range(cfg["num_iterations"]):
         goals = sample_tasks(rng, cfg["meta_batch_size"])
         opt.zero_grad()
@@ -513,5 +525,5 @@ def train_maml_ppo(cfg: dict, seed: int, log_every: int = 5):
         if (it + 1) % log_every == 0:
             print(f"torch ppo iter {it + 1}/{cfg['num_iterations']} "
                   f"adapt_reward {np.mean(rews):.3f}", flush=True)
-    post = evaluate("ppo", p, baseline, cfg, rng, gen, cfg["n_eval_tasks"])
+    post = paired_eval(p)
     return post, pre

@@ -26,6 +26,7 @@ def vision_setup():
     return spec, params, apply_fn, test
 
 
+@pytest.mark.slow
 class TestCLVision:
     def test_cl_exp_artifacts_and_shape(self, vision_setup, tmp_path):
         spec, params, apply_fn, test_ds = vision_setup
@@ -51,6 +52,7 @@ class TestCLVision:
         assert diag >= off
 
 
+@pytest.mark.slow
 class TestCLRL:
     def test_cl_rl_exp(self, tmp_path):
         env = Particles2D()
@@ -92,6 +94,7 @@ class TestRepChange:
                                       "n_tasks": 1, "layers": [2]})
         assert res["cca"]["2"][0] == pytest.approx(1.0, abs=1e-3)
 
+    @pytest.mark.slow
     def test_rep_rl_exp(self, tmp_path):
         env = Particles2D()
         policy = DiagNormalPolicy(input_size=2, output_size=2,
@@ -128,6 +131,7 @@ class TestRepChange:
         assert sims[1] == pytest.approx(1.0, abs=1e-3)  # identical ckpts
 
 
+@pytest.mark.slow
 class TestOfflineEval:
     def test_eval_vision_roundtrip(self, tmp_path, monkeypatch):
         """Train 2 iterations via the trainer, then run the offline eval

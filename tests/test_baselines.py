@@ -99,6 +99,7 @@ def test_random_baseline_host_ant(tmp_path):
     assert len(final["tasks_rewards"]) == 2
 
 
+@pytest.mark.slow
 def test_random_baseline_training_loop_artifacts(tmp_path):
     """The reference random baseline RUNS a training loop (random.py:73-110):
     per-iteration average_return metrics, policy + baseline checkpoints on

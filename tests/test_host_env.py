@@ -76,6 +76,7 @@ class TestHostVecEnv:
         rows = np.arange(12)[:, None] * np.ones((1, 3), int)
         np.testing.assert_array_equal(ts[valid], rows[valid])
 
+    @pytest.mark.slow
     def test_fast_adapt_on_host_env(self, host_setup):
         vec, policy, params, roll = host_setup
         cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=3,
@@ -113,6 +114,7 @@ class TestReplayMeta:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_replay_meta_gradient_finite_nonzero(self, host_setup):
         vec, policy, params, roll = host_setup
         cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=3,
@@ -132,6 +134,7 @@ class TestReplayMeta:
                     for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
 
+    @pytest.mark.slow
     def test_anil_policy_on_host_env(self):
         vec = HostVecEnv(lambda: FakeHostEnv(), n_envs=2)
         policy = DiagNormalPolicyANIL(input_size=2, output_size=1,
@@ -181,6 +184,7 @@ class TestEvalTaskSelection:
         t = sample_explicit_task(env, None, "drawer-close", pool=100)
         assert t is not None and t["task"] == 4
 
+    @pytest.mark.slow
     def test_evaluate_each3_end_to_end(self):
         env = HostVecEnv(lambda: DictTaskEnv(seed=1), n_envs=2)
         # delegate dict-task sampling through the vec env
@@ -243,6 +247,7 @@ class TestTaskBatchedCollection:
                     np.asarray(getattr(ref, name)), atol=1e-3,
                     err_msg=f"task {i} field {name}")
 
+    @pytest.mark.slow
     def test_collect_feeds_trpo_meta_step(self):
         from exploring_meta_tpu.envs.host import make_grouped_host_rollout
         from exploring_meta_tpu.rl.host_batched import collect_task_batched
@@ -269,6 +274,7 @@ class TestTaskBatchedCollection:
                                     jax.tree_util.tree_leaves(new_params)))
         assert moved or not bool(info["accepted"])
 
+    @pytest.mark.slow
     def test_collect_feeds_ppo_replay_loss(self):
         from exploring_meta_tpu.envs.host import make_grouped_host_rollout
         from exploring_meta_tpu.rl.host_batched import collect_task_batched

@@ -213,6 +213,7 @@ class TestSampler:
         assert tr.n_classes == int(60 * 1100 / 1623)
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_maml_learns_synthetic_omniglot(self):
         """Minimum end-to-end slice (SURVEY.md §7.2 stage 4): accuracy on
@@ -258,6 +259,7 @@ class TestEndToEnd:
         assert float(evaluate(params, data, labels)["metric"]) > 0.5
 
 
+@pytest.mark.slow
 class TestTrainScan:
     def test_scan_matches_sequential_steps(self):
         """K fused meta-iterations must equal K sequential meta_step calls
@@ -298,6 +300,7 @@ class TestTrainScan:
         assert m["loss"].shape == (K,)
 
 
+@pytest.mark.slow
 class TestFusedTrainer:
     def test_fused_trainer_metrics_and_checkpoints(self, tmp_path,
                                                    monkeypatch):
@@ -323,6 +326,7 @@ class TestFusedTrainer:
         assert all(np.isfinite(v) for v in t.metrics["train_loss"])
 
 
+@pytest.mark.slow
 class TestResume:
     def test_trainer_resume_continues_iteration_count(self, tmp_path,
                                                       monkeypatch):
@@ -353,6 +357,7 @@ class TestResume:
 import os  # noqa: E402
 
 
+@pytest.mark.slow
 class TestCastCompute:
     """Mixed-precision wrapper (adapt.cast_compute): bf16 compute graph,
     f32 master params."""

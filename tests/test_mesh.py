@@ -52,6 +52,7 @@ def test_sharded_step_runs_on_subset_mesh(eight_devices):
 import pytest  # noqa: E402
 
 
+@pytest.mark.slow
 def test_sharded_trpo_meta_matches_single_device(eight_devices):
     """Distributed TRPO outer step == single-device on the same replays."""
     import jax.numpy as jnp
@@ -107,6 +108,7 @@ def test_sharded_trpo_meta_matches_single_device(eight_devices):
                                    rtol=5e-2, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_sharded_train_scan_equals_global_step(eight_devices):
     """One step of the fused sharded trainer == the plain global meta_step
     on the concatenation of the per-shard samples (pmean of equal-size
@@ -152,6 +154,7 @@ def test_sharded_train_scan_equals_global_step(eight_devices):
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_trpo_train_scan_equals_unsharded(eight_devices):
     """One fused+sharded MAML-TRPO iteration == plain collection +
     meta_optimize_trpo on the concatenation of the per-shard samples."""
@@ -210,6 +213,7 @@ def test_sharded_trpo_train_scan_equals_unsharded(eight_devices):
                                    rtol=5e-2, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_sharded_adam_train_scan_equals_global(eight_devices):
     """One fused+sharded PPO meta-iteration == one global Adam step on the
     concatenated shard samples (pmean of equal-size local grads)."""
@@ -264,6 +268,7 @@ def test_sharded_adam_train_scan_equals_global(eight_devices):
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_vision_trainer_mesh_plus_fuse(tmp_path, monkeypatch,
                                        eight_devices):
     """--mesh 4 --fuse 2: multi-chip sharded iterations fused under scan,
@@ -281,6 +286,7 @@ def test_vision_trainer_mesh_plus_fuse(tmp_path, monkeypatch,
     assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_sharded_replay_meta_step_matches_single_device(eight_devices):
     """Mesh Adam outer step over recorded replays == single-device
     value_and_grad + update on the same replays."""

@@ -103,6 +103,7 @@ class TestFastAdapt:
             lambda a, b: np.abs(np.asarray(a - b)).max(), adapted, params)
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
+    @pytest.mark.slow
     def test_ppo_meta_gradient_nonzero(self, setup):
         env, policy, params, cfg, roll, task = setup
 
@@ -139,31 +140,40 @@ class TestFastAdapt:
         assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 class TestTRPOMeta:
+    def _collect(self, env, policy, params, cfg, roll, key, n_tasks):
+        """Jitted vmapped collection (one XLA program, not n eager
+        fast_adapt dispatches — keeps this test's wall-clock down)."""
+        @jax.jit
+        def collect(params, tasks_batch, keys):
+            def per_task(t, k):
+                adapted, _, replay, _ = rl.fast_adapt_trpo(
+                    policy, params, roll, t, k, cfg)
+                return adapted, jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *replay)
+            return jax.vmap(per_task)(tasks_batch, keys)
+
+        k1, k2 = jax.random.split(key)
+        tasks_batch = env.sample_tasks(k1, n_tasks)
+        keys = jax.random.split(k2, n_tasks)
+        return collect(params, tasks_batch, keys)
+
     def test_meta_optimize_improves_surrogate(self, setup):
         env, policy, params, cfg, roll, task = setup
-        key = jax.random.key(11)
-        replays, old_stack = [], []
-        for i in range(3):
-            key, k1, k2 = jax.random.split(key, 3)
-            t = env.sample_tasks(k1, 1)[0]
-            adapted, _, replay, _ = rl.fast_adapt_trpo(policy, params, roll,
-                                                       t, k2, cfg)
-            replays.append(replay)
-            old_stack.append(adapted)
-
-        stacked = rl.stack_replays(replays)
-        old_params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                            *old_stack)
+        old_params, stacked = self._collect(env, policy, params, cfg, roll,
+                                            jax.random.key(11), 3)
         trpo_cfg = rl.TRPOConfig(outer_lr=0.05, max_kl=0.05)
-        new_params, info = rl.meta_optimize_trpo(
-            policy, params, old_params, stacked, cfg, trpo_cfg,
-            adapt_steps=cfg.adapt_steps)
+        meta_step = rl.make_trpo_meta_step(policy, cfg, trpo_cfg,
+                                           adapt_steps=cfg.adapt_steps)
+        new_params, info = meta_step(params, old_params, stacked)
 
         assert np.isfinite(float(info["old_loss"]))
         if bool(info["accepted"]):
-            new_loss, kl = rl.meta_surrogate_loss(
-                policy, new_params, old_params, stacked, cfg, cfg.adapt_steps)
+            new_loss, kl = jax.jit(rl.meta_surrogate_loss,
+                                   static_argnums=(0, 4, 5))(
+                policy, new_params, old_params, stacked, cfg,
+                cfg.adapt_steps)
             assert float(new_loss) < float(info["old_loss"])
             assert float(kl) < trpo_cfg.max_kl
 
@@ -171,18 +181,17 @@ class TestTRPOMeta:
         """At theta = theta_old-pre-adaptation, the re-derived policies
         equal the stored ones, so KL ~ 0."""
         env, policy, params, cfg, roll, task = setup
-        key = jax.random.key(12)
-        adapted, _, replay, _ = rl.fast_adapt_trpo(policy, params, roll,
-                                                   task, key, cfg)
-        stacked = rl.stack_replays([replay])
-        old_params = jax.tree_util.tree_map(lambda x: x[None], adapted)
-        loss, kl = rl.meta_surrogate_loss(policy, params, old_params,
-                                          stacked, cfg, cfg.adapt_steps)
+        old_params, stacked = self._collect(env, policy, params, cfg, roll,
+                                            jax.random.key(12), 1)
+        # re-derive from the SAME pre-adaptation params the replay used
+        loss, kl = jax.jit(rl.meta_surrogate_loss, static_argnums=(0, 4, 5))(
+            policy, params, old_params, stacked, cfg, cfg.adapt_steps)
         # First-order (collection) vs second-order (re-run) inner updates
         # produce the same VALUES, so KL(new||old) should be ~0.
         assert float(kl) == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.slow
 class TestEndToEndRL:
     def test_maml_trpo_learns_particles2d(self):
         """Meta-train MAML-TRPO a few iterations; post-adaptation reward on
@@ -303,6 +312,7 @@ class TestAdaptRLFixes:
                                horizon=horizon)
         return env, policy, params, cfg, roll
 
+    @pytest.mark.slow
     def test_dice_recurrence_is_per_episode(self):
         """The DiCE cumsum must chain log-probs within an episode (time
         axis), never across the episode axis — oracle: per-episode

@@ -22,6 +22,7 @@ def _setup(horizon=10, episodes=2):
     return env, policy, params, cfg, roll
 
 
+@pytest.mark.slow
 def test_trpo_train_scan_shapes_and_finiteness():
     env, policy, params, cfg, roll = _setup()
     trpo_cfg = rl.TRPOConfig()
@@ -37,6 +38,7 @@ def test_trpo_train_scan_shapes_and_finiteness():
     assert moved
 
 
+@pytest.mark.slow
 def test_adam_train_scan_matches_per_iteration_structure():
     import optax
     env, policy, params, cfg, roll = _setup()

@@ -167,6 +167,7 @@ class TestDiCE:
         assert max(jax.tree_util.tree_leaves(diffs)) > 1e-8
 
 
+@pytest.mark.slow
 class TestAsyncCheckpoints:
     def test_async_checkpoint_roundtrip(self, tmp_path, monkeypatch):
         """async_write checkpoints land after flush and load back
