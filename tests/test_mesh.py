@@ -353,3 +353,42 @@ def test_make_task_mesh_rejects_oversized_request(eight_devices):
     (which would shrink the fused path's effective meta-batch)."""
     with pytest.raises(ValueError, match="devices are available"):
         parallel.make_task_mesh(len(jax.devices()) + 1)
+
+
+@pytest.mark.slow
+def test_sharded_scans_accept_bf16_policy(eight_devices):
+    """RL --bf16 composes with --mesh/--fuse: the policy spec's
+    compute_dtype flows through the sharded fused scans (policies carry
+    the flag, so every path that takes `policy` inherits it)."""
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.models import DiagNormalPolicy
+    import optax
+
+    env = Particles2D()
+    policy = DiagNormalPolicy(input_size=2, output_size=2, hiddens=(16, 16),
+                              compute_dtype="bf16")
+    params = policy.init(jax.random.key(0))
+    cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=2,
+                      max_path_length=5)
+    trpo_cfg = rl.TRPOConfig(outer_lr=0.1, max_kl=0.05)
+    roll = rl.make_rollout(env, policy.sample, episodes=2, horizon=5)
+    mesh = parallel.make_task_mesh(4)
+
+    fused = parallel.make_sharded_trpo_train_scan(
+        env, policy, roll, cfg, trpo_cfg, meta_batch_size=8, n_steps=1,
+        mesh=mesh)
+    p1, ms = fused(params, jax.random.key(1))
+    assert np.isfinite(float(ms["meta_loss"][0]))
+    # master params stay f32 (mixed-precision contract)
+    for leaf in jax.tree_util.tree_leaves(p1):
+        assert leaf.dtype == jnp.float32
+
+    opt = optax.adam(1e-3)
+    afused = parallel.make_sharded_adam_train_scan(
+        env, policy, roll, cfg, opt, "ppo", meta_batch_size=8, n_steps=1,
+        mesh=mesh)
+    p2, _, ms2 = afused(params, opt.init(params), jax.random.key(2))
+    assert np.isfinite(float(ms2["meta_loss"][0]))
+    for leaf in jax.tree_util.tree_leaves(p2):
+        assert leaf.dtype == jnp.float32
