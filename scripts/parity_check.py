@@ -295,7 +295,7 @@ def default_rl_cfg(algo: str) -> dict:
         # PPO inner/outer
         "ppo_epochs": 3, "ppo_clip_ratio": 0.3,
     }
-    if algo == "ppo":
+    if algo in ("ppo", "vpg"):
         cfg["outer_lr"] = 3e-3  # Adam
     return cfg
 
@@ -380,12 +380,14 @@ def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
         opt = optax.adam(cfg["outer_lr"])
         opt_state = opt.init(params)
 
+        fast_adapt = (rl.fast_adapt_vpg if algo == "vpg"
+                      else rl.fast_adapt_ppo)
+
         @jax.jit
         def meta_step(params, opt_state, tasks_batch, keys):
             def batch_loss(p):
                 def one(t, k):
-                    _, loss, m = rl.fast_adapt_ppo(policy, p, roll, t, k,
-                                                   rl_cfg)
+                    _, loss, m = fast_adapt(policy, p, roll, t, k, rl_cfg)
                     return loss, m["reward"]
                 losses, rews = jax.vmap(one)(tasks_batch, keys)
                 return jnp.mean(losses), jnp.mean(rews)
@@ -414,6 +416,8 @@ def run_torch_rl(algo: str, cfg: dict, seed: int):
     import torch_rl_repro as repro
     if algo == "trpo":
         return repro.train_maml_trpo(cfg, seed)
+    if algo == "vpg":
+        return repro.train_maml_vpg(cfg, seed)
     return repro.train_maml_ppo(cfg, seed)
 
 
@@ -465,9 +469,9 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--bf16", action="store_true",
                    help="gate the bf16-compute mode (trainer --bf16)")
-    p.add_argument("--rl", choices=["trpo", "ppo"], default=None,
-                   help="RL parity mode: MAML-TRPO/PPO on Particles2D vs "
-                        "the torch reference reproduction")
+    p.add_argument("--rl", choices=["trpo", "ppo", "vpg"], default=None,
+                   help="RL parity mode: MAML-{TRPO,PPO,VPG} on "
+                        "Particles2D vs the torch reference reproduction")
     p.add_argument("--improved", action="store_true",
                    help="RL mode: use the framework's default within-"
                         "episode baseline timestep instead of the "

@@ -393,6 +393,37 @@ def meta_optimize_trpo(cfg, p, baseline, iter_replays, iter_policies):
 
 
 # ---------------------------------------------------------------------------
+# VPG (rl.py:208-254): A2C loss on UN-normalized advantages
+# ---------------------------------------------------------------------------
+
+def vpg_a2c_loss(ep, p, baseline, gamma, tau, body_detach=False):
+    log_probs = policy_log_prob(p, ep["states"], ep["actions"], body_detach)
+    adv = compute_advantages(baseline, tau, gamma, ep["rewards"],
+                             ep["dones"], ep["states"], ep["next_states"])
+    return -(log_probs * adv).mean()
+
+
+def fast_adapt_vpg(p, goal, baseline, cfg, gen, second_order=True):
+    """Reference fast_adapt_vpg (rl.py:229-254): inner SGD on the A2C
+    loss, differentiable query loss for the Adam outer step."""
+    cur = p
+    for _ in range(cfg["adapt_steps"]):
+        support = collect_episodes(cur, goal, cfg["adapt_batch_size"],
+                                   cfg["max_path_length"], gen)
+        loss = vpg_a2c_loss(support, cur, baseline, cfg["gamma"],
+                            cfg["tau"], body_detach=ANIL)
+        grads = torch.autograd.grad(loss, inner_params(cur),
+                                    retain_graph=second_order,
+                                    create_graph=second_order)
+        cur = inner_update(cur, grads, cfg["inner_lr"])
+    query = collect_episodes(cur, goal, cfg["adapt_batch_size"],
+                             cfg["max_path_length"], gen)
+    valid_loss = vpg_a2c_loss(query, cur, baseline, cfg["gamma"],
+                              cfg["tau"])
+    return valid_loss, cur, episode_reward(query)
+
+
+# ---------------------------------------------------------------------------
 # PPO (rl.py:264-316)
 # ---------------------------------------------------------------------------
 
@@ -449,6 +480,10 @@ def evaluate(algo: str, p, baseline, cfg, rng, gen, n_tasks: int) -> float:
     for goal in sample_tasks(rng, n_tasks):
         if algo == "trpo":
             adapted, _, _ = fast_adapt_trpo(p, goal, baseline, cfg, gen)
+        elif algo == "vpg":
+            _, adapted, _ = fast_adapt_vpg(p, goal, baseline, cfg, gen,
+                                           second_order=False)
+            adapted = {k: v.detach() for k, v in adapted.items()}
         else:
             _, adapted, _ = fast_adapt_ppo(p, goal, baseline, cfg, gen,
                                            second_order=False)
@@ -495,9 +530,13 @@ def train_maml_trpo(cfg: dict, seed: int, log_every: int = 5):
     return post, pre
 
 
-def train_maml_ppo(cfg: dict, seed: int, log_every: int = 5):
+def train_maml_adam(algo: str, cfg: dict, seed: int, log_every: int = 5):
+    """MAML-PPO / MAML-VPG training loop: Adam over the mean
+    differentiable query loss (reference rl/maml_ppo.py:81-149; the VPG
+    variant swaps fast_adapt_ppo for fast_adapt_vpg)."""
     global ANIL
     ANIL = bool(cfg.get("anil", False))
+    fast_adapt = fast_adapt_vpg if algo == "vpg" else fast_adapt_ppo
     rng = np.random.default_rng(seed)
     gen = torch.Generator().manual_seed(seed)
     p = init_policy(gen)
@@ -505,7 +544,7 @@ def train_maml_ppo(cfg: dict, seed: int, log_every: int = 5):
     opt = torch.optim.Adam(params_list(p), lr=cfg["outer_lr"])
 
     def paired_eval(params):
-        return evaluate("ppo", params, baseline, cfg,
+        return evaluate(algo, params, baseline, cfg,
                         np.random.default_rng(seed + 1000),
                         torch.Generator().manual_seed(seed + 1000),
                         cfg["n_eval_tasks"])
@@ -517,13 +556,21 @@ def train_maml_ppo(cfg: dict, seed: int, log_every: int = 5):
         iter_loss = 0.0
         rews = []
         for goal in goals:
-            valid_loss, _, rew = fast_adapt_ppo(p, goal, baseline, cfg, gen)
+            valid_loss, _, rew = fast_adapt(p, goal, baseline, cfg, gen)
             iter_loss = iter_loss + valid_loss
             rews.append(rew)
         (iter_loss / cfg["meta_batch_size"]).backward()
         opt.step()
         if (it + 1) % log_every == 0:
-            print(f"torch ppo iter {it + 1}/{cfg['num_iterations']} "
+            print(f"torch {algo} iter {it + 1}/{cfg['num_iterations']} "
                   f"adapt_reward {np.mean(rews):.3f}", flush=True)
     post = paired_eval(p)
     return post, pre
+
+
+def train_maml_ppo(cfg: dict, seed: int, log_every: int = 5):
+    return train_maml_adam("ppo", cfg, seed, log_every)
+
+
+def train_maml_vpg(cfg: dict, seed: int, log_every: int = 5):
+    return train_maml_adam("vpg", cfg, seed, log_every)
