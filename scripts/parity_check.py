@@ -403,7 +403,7 @@ def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
             params, opt_state, rew = meta_step(params, opt_state,
                                                tasks_batch, keys)
             if (it + 1) % 5 == 0:
-                print(f"jax ppo iter {it + 1}/{cfg['num_iterations']} "
+                print(f"jax {algo} iter {it + 1}/{cfg['num_iterations']} "
                       f"adapt_reward {float(rew):.3f}", flush=True)
 
     post = rl.meta_test(algo, "Particles2D-v1", policy, params, rl_cfg,
