@@ -423,7 +423,11 @@ def measure_tpu_trpo_particles() -> float:
     from exploring_meta_tpu.envs import Particles2D
     from exploring_meta_tpu.models import DiagNormalPolicy
 
-    TASKS, ITERS = 20, 10
+    TASKS = 20
+    # Fused-chunk length (trainers' --fuse K): iterations per XLA program.
+    # Larger chunks amortize the per-dispatch tunnel overhead (~15-20 ms
+    # on a fresh process); compile cost is ~constant in K (same scan body).
+    ITERS = int(os.environ.get("EMT_BENCH_FUSE", "10"))
     env = Particles2D()
     policy = DiagNormalPolicy(input_size=2, output_size=2)
     if os.environ.get("EMT_BENCH_BF16") == "1":
