@@ -53,6 +53,15 @@ class RLConfig(NamedTuple):
                                   # default here is the within-episode index
                                   # (a measured improvement — PARITY.md
                                   # deviations registry). True = exact.
+    value_reg: float = 1e-5       # LinearValue ridge coefficient. cherry's
+                                  # default is 1e-5; the REFERENCE passes
+                                  # env.action_size as the second positional
+                                  # arg of LinearValue(input_size, reg=1e-5)
+                                  # (rl/maml_trpo.py:85 etc.), accidentally
+                                  # setting reg = action dim (2.0 on
+                                  # Particles2D). Reference-exact parity
+                                  # runs set this accordingly (PARITY.md
+                                  # deviations registry D9).
 
 
 def masked_mean(x, mask):
@@ -90,6 +99,7 @@ def traj_advantages(traj: Trajectory, cfg: RLConfig, update_vf: bool = True,
     if update_vf or baseline_w is None:
         baseline_w = fit_linear_value(flat_states, flat_t,
                                       traj.flat(returns),
+                                      reg=cfg.value_reg,
                                       weights=traj.flat(traj.valid))
     shape = traj.reward.shape
     values = linear_value(baseline_w, flat_states, flat_t).reshape(shape)
@@ -314,3 +324,25 @@ def fast_adapt_trpo(policy, params, rollout_fn: Callable, task, key,
     valid_loss = trpo_a2c_loss(policy, params, query, cfg, update_vf=False,
                                baseline_w=baseline_w)
     return params, valid_loss, replay, _query_metrics(query)
+
+
+def make_trpo_collect(policy, rollout_fn: Callable, cfg: RLConfig):
+    """Jitted vmapped first-order TRPO collection over a task batch
+    (reference rl/maml_trpo.py:102-122: per-task deepcopy + fast_adapt):
+    ``(params, tasks [B, ...], keys [B]) -> (adapted_params, valid_losses,
+    stacked replays [B, steps+1, T, E, ...], query metrics)``.
+
+    The single shared building block behind the trainer iteration
+    (trainers/rl.py), the parity harness (scripts/parity_check.py --rl
+    trpo), the driver dryrun (__graft_entry__) and the tests — so the
+    collection semantics cannot drift between them."""
+    @jax.jit
+    def collect(params, tasks_batch, keys):
+        def per_task(task, k):
+            adapted, loss, replay, m = fast_adapt_trpo(
+                policy, params, rollout_fn, task, k, cfg)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *replay)
+            return adapted, loss, stacked, m
+        return jax.vmap(per_task)(tasks_batch, keys)
+    return collect

@@ -326,16 +326,7 @@ class RLTrainer(Experiment):
         cfg = self.cfg
         meta_step = self._make_trpo_meta_step(policy, rl_cfg)
 
-        @jax.jit
-        def collect(params, tasks_batch, keys):
-            def per_task(task, k):
-                adapted, loss, replay, m = rl.fast_adapt_trpo(
-                    policy, params, roll, task, k, rl_cfg)
-                stacked_replay = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *replay)
-                return adapted, loss, stacked_replay, m
-
-            return jax.vmap(per_task)(tasks_batch, keys)
+        collect = rl.make_trpo_collect(policy, roll, rl_cfg)
 
         def iteration(params, _, key):
             k_tasks, k_adapt = jax.random.split(key)

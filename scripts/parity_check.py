@@ -289,6 +289,10 @@ def default_rl_cfg(algo: str) -> dict:
         "inner_lr": 0.05, "gamma": 0.99, "tau": 1.0,
         "adapt_steps": 1, "adapt_batch_size": 10, "max_path_length": 50,
         "meta_batch_size": 10, "num_iterations": 30, "n_eval_tasks": 40,
+        # LinearValue ridge reg: the reference passes env.action_size
+        # positionally into cherry's reg parameter (rl/maml_trpo.py:85),
+        # so reference-exact runs use 2.0 on Particles2D (PARITY.md D9).
+        "value_reg": 2.0,
         # TRPO outer
         "outer_lr": 0.3, "backtrack_factor": 0.5, "ls_max_steps": 15,
         "max_kl": 0.05,
@@ -336,7 +340,10 @@ def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
         max_path_length=cfg["max_path_length"],
         ppo_epochs=cfg["ppo_epochs"],
         ppo_clip_ratio=cfg["ppo_clip_ratio"],
-        anil=anil, flat_timestep=exact)
+        anil=anil, flat_timestep=exact,
+        # exact mode reproduces the reference's accidental reg =
+        # action_size (D9); improved mode keeps the framework default.
+        value_reg=(cfg.get("value_reg", 2.0) if exact else 1e-5))
     roll = rl.make_rollout(env, policy.sample,
                            episodes=cfg["adapt_batch_size"],
                            horizon=cfg["max_path_length"])
@@ -357,20 +364,13 @@ def run_jax_rl(algo: str, cfg: dict, seed: int, bf16: bool = False,
         meta_step = rl.make_trpo_meta_step(policy, rl_cfg, trpo_cfg,
                                            adapt_steps=cfg["adapt_steps"])
 
-        @jax.jit
-        def collect(params, tasks_batch, keys):
-            def per_task(task, k):
-                adapted, _, replay, m = rl.fast_adapt_trpo(
-                    policy, params, roll, task, k, rl_cfg)
-                return adapted, jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *replay), m
-            return jax.vmap(per_task)(tasks_batch, keys)
+        collect = rl.make_trpo_collect(policy, roll, rl_cfg)
 
         for it in range(cfg["num_iterations"]):
             key, tk, ak = jax.random.split(key, 3)
             tasks_batch = env.sample_tasks(tk, mb)
             keys = jax.random.split(ak, mb)
-            old_params, replays, m = collect(params, tasks_batch, keys)
+            old_params, _, replays, m = collect(params, tasks_batch, keys)
             params, _ = meta_step(params, old_params, replays)
             if (it + 1) % 5 == 0:
                 print(f"jax trpo iter {it + 1}/{cfg['num_iterations']} "
@@ -428,6 +428,11 @@ def rl_parity(args) -> None:
         cfg["meta_batch_size"] = args.meta_batch
     if args.eval_tasks:
         cfg["n_eval_tasks"] = args.eval_tasks
+    if args.inner_lr is not None:
+        cfg["inner_lr"] = args.inner_lr
+    if args.outer_lr is not None:
+        cfg["outer_lr"] = args.outer_lr
+    cfg["adapt_steps"] = args.adapt_steps
 
     cfg["anil"] = args.anil
     jax_rew, jax_pre = run_jax_rl(args.rl, cfg, args.seed, bf16=args.bf16,
@@ -449,6 +454,9 @@ def rl_parity(args) -> None:
         "diff": round(diff, 3),
         "rel_diff": round(diff / abs(improvement), 4)
         if improvement else None,
+        "cfg": {k: cfg[k] for k in ("inner_lr", "outer_lr", "adapt_steps",
+                                    "meta_batch_size", "num_iterations",
+                                    "n_eval_tasks", "value_reg")},
     }))
 
 
@@ -462,8 +470,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--meta_batch", type=int, default=None)
-    p.add_argument("--inner_lr", type=float, default=0.5)
-    p.add_argument("--outer_lr", type=float, default=0.003)
+    p.add_argument("--inner_lr", type=float, default=None,
+                   help="vision default 0.5; RL default 0.05")
+    p.add_argument("--outer_lr", type=float, default=None,
+                   help="vision default 0.003; RL default 0.3 (TRPO) / "
+                        "3e-3 (Adam)")
     p.add_argument("--adapt_steps", type=int, default=1)
     p.add_argument("--eval_tasks", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -494,6 +505,8 @@ def main():
     args.iters = args.iters if args.iters is not None else 150
     args.meta_batch = args.meta_batch or 16
     args.eval_tasks = args.eval_tasks or 256
+    args.inner_lr = 0.5 if args.inner_lr is None else args.inner_lr
+    args.outer_lr = 0.003 if args.outer_lr is None else args.outer_lr
 
     from exploring_meta_tpu import tasks
     if args.dataset == "omni":

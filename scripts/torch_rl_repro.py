@@ -16,7 +16,11 @@ Faithfulness notes (reference file:line):
   averaged (not summed) over action dims (policies.py:30-67).
 - LinearValue: cherry's features [s, s^2, al, al^2, al^3, 1] with
   ``al = flat replay row index / 100`` (crossing episode boundaries —
-  the reference quirk; see ops/value.py), ridge fit reg=1e-5.
+  the reference quirk; see ops/value.py). Ridge reg defaults to cherry's
+  1e-5, but the reference passes env.action_size as the second positional
+  arg of LinearValue (rl/maml_trpo.py:85) — cherry's ``reg`` — so the
+  training loops construct reg = action dim (2.0 here); see
+  make_baseline / PARITY.md D9.
 - compute_advantages (rl.py:95-110): discounted returns -> fit ->
   bootstraps = v*(1-d) + v_next*d -> GAE with trailing next_value 0.
 - fast_adapt_trpo (rl.py:377-406): first-order inner updates during
@@ -60,9 +64,9 @@ def sample_tasks(rng: np.random.Generator, n: int) -> np.ndarray:
 # Policy (functional param dict; architecture/init = policies.py:30-67)
 # ---------------------------------------------------------------------------
 
-ANIL = False  # module switch: DiagNormalPolicyANIL semantics
-              # (tanh body, head+sigma-only inner updates with a no-grad
-              # body pass — reference policies.py:70-126)
+# ANIL semantics (tanh body, head+sigma-only inner updates with a no-grad
+# body pass — reference policies.py:70-126) are selected per call via the
+# ``anil`` parameter, threaded down from cfg["anil"] (no module state).
 
 
 def init_policy(gen: torch.Generator, obs: int = 2, act: int = 2,
@@ -84,9 +88,9 @@ def init_policy(gen: torch.Generator, obs: int = 2, act: int = 2,
             "sigma": sigma}
 
 
-def policy_loc(p: dict, states: torch.Tensor,
+def policy_loc(p: dict, states: torch.Tensor, anil: bool = False,
                body_detach: bool = False) -> torch.Tensor:
-    act = torch.tanh if ANIL else torch.relu
+    act = torch.tanh if anil else torch.relu
     h = act(states @ p["w1"].T + p["b1"])
     h = act(h @ p["w2"].T + p["b2"])
     if body_detach:  # turn_off_body_grads: no-grad body pass (:100-106)
@@ -98,18 +102,18 @@ def policy_scale(p: dict) -> torch.Tensor:
     return torch.exp(torch.clamp(p["sigma"], min=math.log(EPSILON)))
 
 
-def policy_density(p: dict, states: torch.Tensor,
+def policy_density(p: dict, states: torch.Tensor, anil: bool = False,
                    body_detach: bool = False):
-    loc = policy_loc(p, states, body_detach)
+    loc = policy_loc(p, states, anil, body_detach)
     return torch.distributions.Normal(loc=loc, scale=policy_scale(p))
 
 
-def policy_log_prob(p: dict, states, actions,
+def policy_log_prob(p: dict, states, actions, anil: bool = False,
                     body_detach: bool = False) -> torch.Tensor:
     """Mean (not sum) over action dims — the reference quirk
     (policies.py:54-56)."""
-    return policy_density(p, states, body_detach).log_prob(actions).mean(
-        dim=1, keepdim=True)
+    return policy_density(p, states, anil, body_detach).log_prob(
+        actions).mean(dim=1, keepdim=True)
 
 
 PARAM_ORDER = ("w1", "b1", "w2", "b2", "w3", "b3", "sigma")
@@ -124,14 +128,14 @@ def from_list(vals) -> dict:
     return dict(zip(PARAM_ORDER, vals))
 
 
-def inner_params(p: dict) -> list:
+def inner_params(p: dict, anil: bool = False) -> list:
     """The leaves the inner loop updates: all (MAML) or head+sigma
     (ANIL — body grads are None under allow_unused)."""
-    return [p[k] for k in (HEAD_ORDER if ANIL else PARAM_ORDER)]
+    return [p[k] for k in (HEAD_ORDER if anil else PARAM_ORDER)]
 
 
-def inner_update(p: dict, grads, lr: float) -> dict:
-    names = HEAD_ORDER if ANIL else PARAM_ORDER
+def inner_update(p: dict, grads, lr: float, anil: bool = False) -> dict:
+    names = HEAD_ORDER if anil else PARAM_ORDER
     out = dict(p)
     for n, g in zip(names, grads):
         out[n] = out[n] - lr * g
@@ -143,7 +147,7 @@ def inner_update(p: dict, grads, lr: float) -> dict:
 # ---------------------------------------------------------------------------
 
 def collect_episodes(p: dict, goal: np.ndarray, episodes: int, horizon: int,
-                     gen: torch.Generator) -> dict:
+                     gen: torch.Generator, anil: bool = False) -> dict:
     """Roll ``episodes`` lockstep episodes; -> flat [N, .] tensors with
     episodes concatenated in order (runner.py flatten_episodes layout).
     Episodes end at box-done or horizon (horizon step forced done)."""
@@ -153,7 +157,7 @@ def collect_episodes(p: dict, goal: np.ndarray, episodes: int, horizon: int,
     with torch.no_grad():
         for t in range(horizon):
             states = torch.as_tensor(pos, dtype=torch.float32)
-            d = policy_density(p, states)
+            d = policy_density(p, states, anil)
             actions = torch.normal(d.loc, d.scale, generator=gen).numpy()
             clipped = np.clip(actions, -MAX_ACTION, MAX_ACTION)
             new_pos = pos + clipped
@@ -267,8 +271,9 @@ def ch_normalize(x: torch.Tensor, epsilon: float = 1e-8) -> torch.Tensor:
 # ---------------------------------------------------------------------------
 
 def trpo_a2c_loss(ep, p, baseline, gamma, tau, update_vf=True,
-                  body_detach=False):
-    log_probs = policy_log_prob(p, ep["states"], ep["actions"], body_detach)
+                  anil=False, body_detach=False):
+    log_probs = policy_log_prob(p, ep["states"], ep["actions"], anil,
+                                body_detach)
     adv = compute_advantages(baseline, tau, gamma, ep["rewards"],
                              ep["dones"], ep["states"], ep["next_states"],
                              update_vf=update_vf)
@@ -276,29 +281,38 @@ def trpo_a2c_loss(ep, p, baseline, gamma, tau, update_vf=True,
     return -(log_probs * adv).mean()
 
 
-def trpo_update(ep, p, baseline, inner_lr, gamma, tau, second_order):
+def trpo_update(ep, p, baseline, inner_lr, gamma, tau, second_order,
+                anil=False):
     """Inner MAML step (rl.py:361-374); under ANIL the body pass is
     no-grad and only head+sigma move (allow_unused semantics)."""
-    loss = trpo_a2c_loss(ep, p, baseline, gamma, tau, body_detach=ANIL)
-    grads = torch.autograd.grad(loss, inner_params(p),
+    loss = trpo_a2c_loss(ep, p, baseline, gamma, tau, anil=anil,
+                         body_detach=anil)
+    grads = torch.autograd.grad(loss, inner_params(p, anil),
                                 retain_graph=second_order,
                                 create_graph=second_order)
-    return inner_update(p, grads, inner_lr)
+    return inner_update(p, grads, inner_lr, anil)
 
 
 def fast_adapt_trpo(p, goal, baseline, cfg, gen):
-    """-> (adapted detached params, replay list, query reward)."""
+    """-> (adapted detached params, replay list, query reward).
+
+    Params are re-leafed (detach + requires_grad) between inner steps —
+    value-identical to the reference's first-order collection (grads are
+    detached inside trpo_update either way) while keeping every step's
+    params differentiable, so adapt_steps >= 2 works like rl.py:384-396."""
+    anil = bool(cfg.get("anil", False))
     replay = []
     cur = p
     for _ in range(cfg["adapt_steps"]):
         support = collect_episodes(cur, goal, cfg["adapt_batch_size"],
-                                   cfg["max_path_length"], gen)
+                                   cfg["max_path_length"], gen, anil)
         replay.append(support)
         cur = trpo_update(support, cur, baseline, cfg["inner_lr"],
-                          cfg["gamma"], cfg["tau"], second_order=False)
-        cur = {k: v.detach() for k, v in cur.items()}
+                          cfg["gamma"], cfg["tau"], second_order=False,
+                          anil=anil)
+        cur = {k: v.detach().requires_grad_(True) for k, v in cur.items()}
     query = collect_episodes(cur, goal, cfg["adapt_batch_size"],
-                             cfg["max_path_length"], gen)
+                             cfg["max_path_length"], gen, anil)
     replay.append(query)
     return cur, replay, episode_reward(query)
 
@@ -306,18 +320,20 @@ def fast_adapt_trpo(p, goal, baseline, cfg, gen):
 def meta_surrogate_loss(iter_replays, iter_policies, p, baseline, cfg):
     """Reference rl.py:441-473: re-run inner adaptations with 2nd-order
     graphs, mean KL + importance-ratio surrogate over query episodes."""
+    anil = bool(cfg.get("anil", False))
     mean_loss = 0.0
     mean_kl = 0.0
     for task_replays, old_p in zip(iter_replays, iter_policies):
         new_p = p
         for support in task_replays[:-1]:
             new_p = trpo_update(support, new_p, baseline, cfg["inner_lr"],
-                                cfg["gamma"], cfg["tau"], second_order=True)
+                                cfg["gamma"], cfg["tau"], second_order=True,
+                                anil=anil)
         query = task_replays[-1]
         states, actions = query["states"], query["actions"]
         with torch.no_grad():
-            old_d = policy_density(old_p, states)
-        new_d = policy_density(new_p, states)
+            old_d = policy_density(old_p, states, anil)
+        new_d = policy_density(new_p, states, anil)
         kl = torch.distributions.kl_divergence(new_d, old_d).mean()
         mean_kl = mean_kl + kl
 
@@ -396,8 +412,10 @@ def meta_optimize_trpo(cfg, p, baseline, iter_replays, iter_policies):
 # VPG (rl.py:208-254): A2C loss on UN-normalized advantages
 # ---------------------------------------------------------------------------
 
-def vpg_a2c_loss(ep, p, baseline, gamma, tau, body_detach=False):
-    log_probs = policy_log_prob(p, ep["states"], ep["actions"], body_detach)
+def vpg_a2c_loss(ep, p, baseline, gamma, tau, anil=False,
+                 body_detach=False):
+    log_probs = policy_log_prob(p, ep["states"], ep["actions"], anil,
+                                body_detach)
     adv = compute_advantages(baseline, tau, gamma, ep["rewards"],
                              ep["dones"], ep["states"], ep["next_states"])
     return -(log_probs * adv).mean()
@@ -406,20 +424,21 @@ def vpg_a2c_loss(ep, p, baseline, gamma, tau, body_detach=False):
 def fast_adapt_vpg(p, goal, baseline, cfg, gen, second_order=True):
     """Reference fast_adapt_vpg (rl.py:229-254): inner SGD on the A2C
     loss, differentiable query loss for the Adam outer step."""
+    anil = bool(cfg.get("anil", False))
     cur = p
     for _ in range(cfg["adapt_steps"]):
         support = collect_episodes(cur, goal, cfg["adapt_batch_size"],
-                                   cfg["max_path_length"], gen)
+                                   cfg["max_path_length"], gen, anil)
         loss = vpg_a2c_loss(support, cur, baseline, cfg["gamma"],
-                            cfg["tau"], body_detach=ANIL)
-        grads = torch.autograd.grad(loss, inner_params(cur),
+                            cfg["tau"], anil=anil, body_detach=anil)
+        grads = torch.autograd.grad(loss, inner_params(cur, anil),
                                     retain_graph=second_order,
                                     create_graph=second_order)
-        cur = inner_update(cur, grads, cfg["inner_lr"])
+        cur = inner_update(cur, grads, cfg["inner_lr"], anil)
     query = collect_episodes(cur, goal, cfg["adapt_batch_size"],
-                             cfg["max_path_length"], gen)
+                             cfg["max_path_length"], gen, anil)
     valid_loss = vpg_a2c_loss(query, cur, baseline, cfg["gamma"],
-                              cfg["tau"])
+                              cfg["tau"], anil=anil)
     return valid_loss, cur, episode_reward(query)
 
 
@@ -435,36 +454,39 @@ def ppo_clip_loss(new_lp, old_lp, adv, clip):
 
 def fast_adapt_ppo(p, goal, baseline, cfg, gen, second_order=True):
     """-> (differentiable valid_loss, adapted params, query reward)."""
+    anil = bool(cfg.get("anil", False))
     cur = p
     for _ in range(cfg["adapt_steps"]):
         support = collect_episodes(cur, goal, cfg["adapt_batch_size"],
-                                   cfg["max_path_length"], gen)
+                                   cfg["max_path_length"], gen, anil)
         adv = compute_advantages(baseline, cfg["tau"], cfg["gamma"],
                                  support["rewards"], support["dones"],
                                  support["states"], support["next_states"])
         adv = ch_normalize(adv).detach()
         with torch.no_grad():
             old_lp = policy_log_prob(cur, support["states"],
-                                     support["actions"])
+                                     support["actions"], anil)
         for _ in range(cfg["ppo_epochs"]):
             new_lp = policy_log_prob(cur, support["states"],
-                                     support["actions"], body_detach=ANIL)
+                                     support["actions"], anil,
+                                     body_detach=anil)
             loss = ppo_clip_loss(new_lp, old_lp, adv,
                                  cfg["ppo_clip_ratio"])
-            grads = torch.autograd.grad(loss, inner_params(cur),
+            grads = torch.autograd.grad(loss, inner_params(cur, anil),
                                         retain_graph=second_order,
                                         create_graph=second_order)
-            cur = inner_update(cur, grads, cfg["inner_lr"])
+            cur = inner_update(cur, grads, cfg["inner_lr"], anil)
 
     query = collect_episodes(cur, goal, cfg["adapt_batch_size"],
-                             cfg["max_path_length"], gen)
+                             cfg["max_path_length"], gen, anil)
     adv = compute_advantages(baseline, cfg["tau"], cfg["gamma"],
                              query["rewards"], query["dones"],
                              query["states"], query["next_states"])
     adv = ch_normalize(adv).detach()
     with torch.no_grad():
-        old_lp = policy_log_prob(cur, query["states"], query["actions"])
-    new_lp = policy_log_prob(cur, query["states"], query["actions"])
+        old_lp = policy_log_prob(cur, query["states"], query["actions"],
+                                 anil)
+    new_lp = policy_log_prob(cur, query["states"], query["actions"], anil)
     valid_loss = ppo_clip_loss(new_lp, old_lp, adv, cfg["ppo_clip_ratio"])
     return valid_loss, cur, episode_reward(query)
 
@@ -476,6 +498,7 @@ def fast_adapt_ppo(p, goal, baseline, cfg, gen, second_order=True):
 def evaluate(algo: str, p, baseline, cfg, rng, gen, n_tasks: int) -> float:
     """Reference evaluate (rl.py:142-196): adapt on each fresh task, then
     mean query reward over tasks."""
+    anil = bool(cfg.get("anil", False))
     rewards = []
     for goal in sample_tasks(rng, n_tasks):
         if algo == "trpo":
@@ -489,19 +512,26 @@ def evaluate(algo: str, p, baseline, cfg, rng, gen, n_tasks: int) -> float:
                                            second_order=False)
             adapted = {k: v.detach() for k, v in adapted.items()}
         query = collect_episodes(adapted, goal, cfg["adapt_batch_size"],
-                                 cfg["max_path_length"], gen)
+                                 cfg["max_path_length"], gen, anil)
         rewards.append(episode_reward(query))
     return float(np.mean(rewards))
 
 
+def make_baseline(cfg: dict) -> LinearValue:
+    """The reference constructs ``LinearValue(env.state_size,
+    env.action_size)`` (rl/maml_trpo.py:85 etc.) — cherry's second
+    positional parameter is ``reg``, so the reference actually runs with
+    reg = action dim (2.0 on Particles2D), not cherry's 1e-5 default.
+    Reproduced here; override via cfg["value_reg"]."""
+    return LinearValue(2, reg=float(cfg.get("value_reg", 2.0)))
+
+
 def train_maml_trpo(cfg: dict, seed: int, log_every: int = 5):
     """-> (final meta-test reward, pre-training meta-test reward)."""
-    global ANIL
-    ANIL = bool(cfg.get("anil", False))
     rng = np.random.default_rng(seed)
     gen = torch.Generator().manual_seed(seed)
     p = init_policy(gen)
-    baseline = LinearValue(2)
+    baseline = make_baseline(cfg)
 
     def paired_eval(params):
         # Same eval task draws + rollout seeds pre and post (cf. the jax
@@ -534,13 +564,11 @@ def train_maml_adam(algo: str, cfg: dict, seed: int, log_every: int = 5):
     """MAML-PPO / MAML-VPG training loop: Adam over the mean
     differentiable query loss (reference rl/maml_ppo.py:81-149; the VPG
     variant swaps fast_adapt_ppo for fast_adapt_vpg)."""
-    global ANIL
-    ANIL = bool(cfg.get("anil", False))
     fast_adapt = fast_adapt_vpg if algo == "vpg" else fast_adapt_ppo
     rng = np.random.default_rng(seed)
     gen = torch.Generator().manual_seed(seed)
     p = init_policy(gen)
-    baseline = LinearValue(2)
+    baseline = make_baseline(cfg)
     opt = torch.optim.Adam(params_list(p), lr=cfg["outer_lr"])
 
     def paired_eval(params):

@@ -53,6 +53,49 @@ def test_rl_parity_harness_end_to_end(algo):
     assert abs(d_jax - d_torch) < 8.0, (d_jax, d_torch)
 
 
+def test_torch_repro_multi_step_and_anil_threading():
+    """The torch reproduction must support adapt_steps >= 2 (reference
+    rl.py:384-396 loops inner updates; a per-step hard detach used to make
+    the second autograd.grad crash) and must thread ANIL semantics through
+    cfg, not module state (evaluate/fast_adapt after an ANIL run must not
+    inherit it)."""
+    import numpy as np
+    import torch
+    import torch_rl_repro as repro
+
+    cfg = {"inner_lr": 0.05, "gamma": 0.99, "tau": 1.0, "adapt_steps": 2,
+           "adapt_batch_size": 2, "max_path_length": 8, "max_kl": 0.05,
+           "outer_lr": 0.3, "backtrack_factor": 0.5, "ls_max_steps": 3,
+           "ppo_epochs": 2, "ppo_clip_ratio": 0.3}
+    gen = torch.Generator().manual_seed(0)
+    goal = np.array([0.3, -0.2])
+    baseline = repro.make_baseline(cfg)
+    assert baseline.reg == 2.0  # reference-exact reg = action_size (D9)
+
+    p = repro.init_policy(gen)
+    adapted, replay, _ = repro.fast_adapt_trpo(p, goal, baseline, cfg, gen)
+    assert len(replay) == cfg["adapt_steps"] + 1
+    # both steps actually moved the params
+    assert not torch.equal(adapted["w1"], p["w1"])
+
+    # the 2nd-order surrogate replays BOTH inner steps without crashing
+    loss, kl = repro.meta_surrogate_loss([replay], [adapted], p, baseline,
+                                         cfg)
+    grads = torch.autograd.grad(loss, repro.params_list(p))
+    assert all(torch.isfinite(g).all() for g in grads)
+
+    # ANIL via cfg: body frozen under adaptation, no lingering state
+    anil_cfg = dict(cfg, adapt_steps=1, anil=True)
+    p2 = repro.init_policy(gen)
+    adapted2, _, _ = repro.fast_adapt_trpo(p2, goal, baseline, anil_cfg,
+                                           gen)
+    assert torch.equal(adapted2["w1"], p2["w1"])  # body untouched
+    assert not torch.equal(adapted2["w3"], p2["w3"])  # head adapted
+    # a subsequent MAML call sees relu semantics again (no module flag)
+    adapted3, _, _ = repro.fast_adapt_trpo(p2, goal, baseline, cfg, gen)
+    assert not torch.equal(adapted3["w1"], p2["w1"])
+
+
 def test_flat_timestep_advantages_match_torch_oracle():
     """RLConfig.flat_timestep=True must reproduce cherry's advantage
     pipeline EXACTLY (flat concatenated-replay row index as the baseline
@@ -69,8 +112,11 @@ def test_flat_timestep_advantages_match_torch_oracle():
     env = Particles2D()
     policy = DiagNormalPolicy(input_size=2, output_size=2, hiddens=(8, 8))
     params = policy.init(jax.random.key(0))
+    # value_reg=2.0: the reference-exact LinearValue ridge coefficient
+    # (the reference passes action_size positionally into cherry's reg —
+    # PARITY.md D9); the parity harness runs this exact combination.
     cfg = rl.RLConfig(gamma=0.9, tau=0.95, adapt_batch_size=4,
-                      max_path_length=6, flat_timestep=True)
+                      max_path_length=6, flat_timestep=True, value_reg=2.0)
 
     # Mixed-length episodes: 2 slots under the stochastic policy (run the
     # full horizon) + 2 under a near-deterministic stay-at-origin policy
@@ -109,7 +155,7 @@ def test_flat_timestep_advantages_match_torch_oracle():
         "rewards": torch.tensor(ep["rewards"]).view(-1, 1),
         "dones": torch.tensor(ep["dones"]).view(-1, 1),
     }
-    baseline = repro.LinearValue(2)
+    baseline = repro.LinearValue(2, reg=2.0)
     ref = repro.compute_advantages(
         baseline, cfg.tau, cfg.gamma, tens["rewards"], tens["dones"],
         tens["states"], tens["next_states"]).detach().numpy().ravel()

@@ -145,19 +145,12 @@ class TestTRPOMeta:
     def _collect(self, env, policy, params, cfg, roll, key, n_tasks):
         """Jitted vmapped collection (one XLA program, not n eager
         fast_adapt dispatches — keeps this test's wall-clock down)."""
-        @jax.jit
-        def collect(params, tasks_batch, keys):
-            def per_task(t, k):
-                adapted, _, replay, _ = rl.fast_adapt_trpo(
-                    policy, params, roll, t, k, cfg)
-                return adapted, jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *replay)
-            return jax.vmap(per_task)(tasks_batch, keys)
-
+        collect = rl.make_trpo_collect(policy, roll, cfg)
         k1, k2 = jax.random.split(key)
         tasks_batch = env.sample_tasks(k1, n_tasks)
         keys = jax.random.split(k2, n_tasks)
-        return collect(params, tasks_batch, keys)
+        adapted, _, stacked, _ = collect(params, tasks_batch, keys)
+        return adapted, stacked
 
     def test_meta_optimize_improves_surrogate(self, setup):
         env, policy, params, cfg, roll, task = setup
@@ -211,23 +204,16 @@ class TestEndToEndRL:
         before = rl.evaluate("trpo", policy, params, env, roll, cfg,
                              n_tasks=10, key=jax.random.key(99))
 
-        @jax.jit
-        def collect(params, tasks_batch, keys):
-            # vmapped collection, as the trainer does (trainers/rl.py
-            # _make_trpo_iteration) — one XLA program per iteration
-            # instead of 8 eager fast_adapt dispatches.
-            def per_task(t, k):
-                adapted, _, replay, _ = rl.fast_adapt_trpo(
-                    policy, params, roll, t, k, cfg)
-                return adapted, jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *replay)
-            return jax.vmap(per_task)(tasks_batch, keys)
+        # vmapped collection, as the trainer does (trainers/rl.py
+        # _make_trpo_iteration) — one XLA program per iteration
+        # instead of 8 eager fast_adapt dispatches.
+        collect = rl.make_trpo_collect(policy, roll, cfg)
 
         for it in range(5):
             key, tk, ak = jax.random.split(key, 3)
             tasks_batch = env.sample_tasks(tk, 8)
             keys = jax.random.split(ak, 8)
-            old_params, stacked = collect(params, tasks_batch, keys)
+            old_params, _, stacked, _ = collect(params, tasks_batch, keys)
             params, info = meta_step(params, old_params, stacked)
 
         after = rl.evaluate("trpo", policy, params, env, roll, cfg,
