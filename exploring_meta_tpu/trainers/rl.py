@@ -60,6 +60,7 @@ class RLTrainer(Experiment):
         self.cfg = cfg
         self.algo = algo
         self.anil = anil
+        self.ckpt_backend = getattr(cfg, "ckpt_backend", "npz")
         self._timer = PhaseTimer() if cfg.profile else None
         self._fused_params = None
         self._fused_iteration = 0

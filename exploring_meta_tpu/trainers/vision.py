@@ -42,6 +42,7 @@ class VisionTrainer(Experiment):
                          cfg.to_params(), path=path, use_wandb=cfg.use_wandb)
         self.cfg = cfg
         self.anil = anil
+        self.ckpt_backend = cfg.ckpt_backend
 
     def run(self) -> float:
         cfg = self.cfg

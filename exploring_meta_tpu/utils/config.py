@@ -35,6 +35,7 @@ class VisionConfig:
     fuse: int = 1                # iterations fused per XLA program (lax.scan)
     async_ckpt: bool = False     # checkpoint writes on a background thread
     bf16: bool = False           # bf16 compute graph, f32 master params
+    ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -81,6 +82,11 @@ def vision_argparser(defaults: VisionConfig,
                    default=defaults.async_ckpt,
                    help="write checkpoints on a background thread (training "
                         "keeps dispatching while the npz drains)")
+    p.add_argument("--ckpt_backend", choices=["npz", "orbax"],
+                   default=defaults.ckpt_backend,
+                   help="checkpoint format: npz files (default) or an "
+                        "orbax CheckpointManager (per-shard async writes; "
+                        "resume with --resume <run>/model_checkpoints)")
     p.add_argument("--bf16", action="store_true", default=defaults.bf16,
                    help="mixed precision: bf16 compute graph with f32 "
                         "master params/optimizer (~1.4x on TPU; accuracy "
@@ -127,6 +133,7 @@ class RLScriptConfig:
     resume: str = ""             # checkpoint .npz to resume from (params +
                                  # opt state + RNG + iteration; new capability)
     bf16: bool = False           # bf16 policy compute graph, f32 master params
+    ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -177,10 +184,15 @@ def rl_argparser(defaults: RLScriptConfig,
     p.add_argument("--async_ckpt", action="store_true",
                    default=defaults.async_ckpt,
                    help="write checkpoints on a background thread")
+    p.add_argument("--ckpt_backend", choices=["npz", "orbax"],
+                   default=defaults.ckpt_backend,
+                   help="checkpoint format: npz files (default) or an "
+                        "orbax CheckpointManager (per-shard async writes; "
+                        "resume with --resume <run>/model_checkpoints)")
     p.add_argument("--resume", type=str, default=defaults.resume,
-                   help="checkpoint .npz to resume training from "
-                        "(restores params, optimizer state, RNG and "
-                        "iteration)")
+                   help="checkpoint (.npz file or orbax model_checkpoints "
+                        "dir) to resume training from (restores params, "
+                        "optimizer state, RNG and iteration)")
     p.add_argument("--bf16", action="store_true", default=defaults.bf16,
                    help="mixed precision: run the policy compute graph in "
                         "bf16 with f32 master params (accuracy parity-"

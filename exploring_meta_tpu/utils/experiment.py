@@ -75,6 +75,10 @@ class Experiment:
 
         self._ckpt_executor = None
         self._ckpt_futures: list = []
+        # "npz" (default) or "orbax" (utils/orbax_ckpt.py: per-shard async
+        # writes, restore-to-sharding); trainers set this from config.
+        self.ckpt_backend = "npz"
+        self._orbax = None
 
         self._use_wandb = False
         if use_wandb:  # optional, gated: wandb is not in the base image
@@ -131,7 +135,21 @@ class Experiment:
         to a single background thread (SURVEY.md §5: periodic async
         checkpointing for preemptible TPUs) — the training loop keeps
         dispatching while the previous checkpoint drains. Call
-        :meth:`flush_checkpoints` before reading the files back."""
+        :meth:`flush_checkpoints` before reading the files back.
+
+        With ``self.ckpt_backend == "orbax"`` the checkpoint goes to an
+        orbax CheckpointManager under ``model_checkpoints/`` instead
+        (always async; resume via ``--resume <run>/model_checkpoints``)."""
+        if self.ckpt_backend == "orbax":
+            if self._orbax is None:
+                from exploring_meta_tpu.utils.orbax_ckpt import (
+                    OrbaxCheckpointer,
+                )
+                self._orbax = OrbaxCheckpointer(
+                    os.path.join(self.model_path, "model_checkpoints"))
+            self._orbax.save(iteration, params, opt_state=opt_state,
+                             rng_key=rng_key)
+            return
         out = os.path.join(self.model_path, "model_checkpoints",
                            f"{name}_{iteration}.npz")
         if rng_key is not None:
@@ -161,6 +179,8 @@ class Experiment:
         for f in self._ckpt_futures:
             f.result()
         self._ckpt_futures.clear()
+        if self._orbax is not None:
+            self._orbax.wait()
 
     def save_acc_matrix(self, acc_matrix) -> None:
         print("Saving accuracy matrix..")
@@ -177,7 +197,16 @@ def load_params(path: str, template):
 
 
 def load_checkpoint(path: str, params_template, opt_template=None):
-    """-> (params, opt_state|None, rng_key|None, iteration)."""
+    """-> (params, opt_state|None, rng_key|None, iteration).
+
+    ``path`` is either a checkpoint ``.npz`` or an orbax
+    CheckpointManager directory (a ``model_checkpoints/`` dir written
+    under ``--ckpt_backend orbax``; restores the latest step)."""
+    if os.path.isdir(path):
+        from exploring_meta_tpu.utils.orbax_ckpt import (
+            load_orbax_checkpoint,
+        )
+        return load_orbax_checkpoint(path, params_template, opt_template)
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     params = unflatten_into(params_template, flat)
