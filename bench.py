@@ -459,9 +459,10 @@ def measure_tpu_trpo_particles() -> float:
     return best
 
 
-def _measure_host_rollout(backend: str) -> float:
+def _measure_host_rollout(backend: str, policy_device: str = "device") -> float:
     """MuJoCo Ant host-rollout throughput (env steps/sec) for one
-    HostVecEnv backend; the policy runs on the default jax device."""
+    HostVecEnv backend; ``policy_device`` picks where the per-step policy
+    forward runs ("device" = TPU round-trip per step, "cpu" = local)."""
     import jax
     from exploring_meta_tpu.envs.host import (
         AntDirectionEnv, HostVecEnv, make_host_rollout,
@@ -476,7 +477,8 @@ def _measure_host_rollout(backend: str) -> float:
     policy = DiagNormalPolicy(input_size=env.obs_size,
                               output_size=env.action_size)
     params = policy.init(jax.random.key(0))
-    roll = make_host_rollout(env, policy, horizon=H)
+    roll = make_host_rollout(env, policy, horizon=H,
+                             policy_device=policy_device)
     task = env.sample_tasks(None, 1)[0]
     traj = roll(params, task, jax.random.key(1))  # warmup + compile
     float(traj.reward.sum())
@@ -496,7 +498,12 @@ def measure_host_rollout_python() -> float:
     return _measure_host_rollout("python")
 
 
-def _measure_host_collect(task_batched: bool) -> float:
+def measure_host_rollout_cpu_policy() -> float:
+    return _measure_host_rollout("native", policy_device="cpu")
+
+
+def _measure_host_collect(task_batched: bool,
+                          policy_device: str = "device") -> float:
     """Full meta-batch collection pass on MuJoCo Ant (support rollouts +
     on-device inner updates + query rollouts for every task) -> env
     steps/sec. ``task_batched`` steps ALL tasks' episodes per policy
@@ -523,7 +530,8 @@ def _measure_host_collect(task_batched: bool) -> float:
         policy = DiagNormalPolicy(input_size=env.obs_size,
                                   output_size=env.action_size)
         params = policy.init(jax.random.key(0))
-        roll = make_grouped_host_rollout(env, policy, H, TASKS, EPS)
+        roll = make_grouped_host_rollout(env, policy, H, TASKS, EPS,
+                                         policy_device=policy_device)
 
         def one_pass(key):
             tasks = env.sample_tasks(None, TASKS)
@@ -557,6 +565,10 @@ def _measure_host_collect(task_batched: bool) -> float:
 
 def measure_host_collect_batched() -> float:
     return _measure_host_collect(task_batched=True)
+
+
+def measure_host_collect_batched_cpu_policy() -> float:
+    return _measure_host_collect(task_batched=True, policy_device="cpu")
 
 
 def measure_host_collect_sequential() -> float:
@@ -596,6 +608,18 @@ CONFIGS = {
         "metric": "ant_meta_collection_task_batched",
         "unit": "env_steps/sec",
         "measure": measure_host_collect_batched,
+        "baseline": measure_host_collect_sequential,
+    },
+    "host_rollout_ant_cpu_policy": {
+        "metric": "ant_host_rollout_cpu_policy",
+        "unit": "env_steps/sec",
+        "measure": measure_host_rollout_cpu_policy,
+        "baseline": measure_host_rollout_python,
+    },
+    "host_collect_ant_batched_cpu_policy": {
+        "metric": "ant_meta_collection_task_batched_cpu_policy",
+        "unit": "env_steps/sec",
+        "measure": measure_host_collect_batched_cpu_policy,
         "baseline": measure_host_collect_sequential,
     },
 }

@@ -29,6 +29,37 @@ import jax.numpy as jnp
 
 from exploring_meta_tpu.rl.rollout import Trajectory
 
+# Where the per-step policy forward runs during host-env collection.
+# "device" = the default jax device (the TPU chip): one host->device->host
+# round-trip per env step. "cpu" = the in-process CPU backend: the policy
+# params are committed to the CPU device once per rollout, so every
+# per-step action evaluation is local — zero tunnel/PCIe crossings until
+# the finished Trajectory ships to the TPU in one transfer. Collection is
+# forward-only (replays are re-derived on device for gradients, reference
+# core_functions/rl.py:346-405), so nothing about training needs the
+# per-step forward to run on the accelerator.
+_POLICY_DEVICE_MODE = "device"
+
+
+def set_host_policy_device(mode: str) -> None:
+    """Set the default placement for host-rollout policy evaluation
+    (``"device"`` or ``"cpu"``); trainers wire ``--host_policy`` here."""
+    global _POLICY_DEVICE_MODE
+    if mode not in ("device", "cpu"):
+        raise ValueError(f"host policy device must be 'device' or 'cpu', "
+                         f"got {mode!r}")
+    _POLICY_DEVICE_MODE = mode
+
+
+def _place_policy(mode, tree):
+    """Commit ``tree`` (params + key) to the collection device for
+    ``mode`` (``None`` -> the module default set by
+    :func:`set_host_policy_device`)."""
+    mode = mode or _POLICY_DEVICE_MODE
+    if mode == "cpu":
+        return jax.device_put(tree, jax.devices("cpu")[0])
+    return tree
+
 
 class AntDirectionEnv:
     """AntDirection-v1 semantics on gymnasium's MuJoCo Ant.
@@ -142,8 +173,10 @@ class HostVecEnv:
         """Roll all E envs for ``horizon`` steps.
 
         ``action_fn(key, obs_batch [E, obs]) -> actions [E, act]`` — a
-        jitted device function closed over the policy params; obs cross
-        the host->device boundary once per step, batched over E.
+        jitted function closed over the policy params; obs are handed to
+        it as numpy, so jit commits them to whatever device the params
+        are committed to (TPU by default; the local CPU backend under
+        ``set_host_policy_device("cpu")``), batched over E.
         """
         E, T = self.n_envs, horizon
         if self._pool is not None:
@@ -165,7 +198,7 @@ class HostVecEnv:
         t_in_ep = np.zeros(E, np.int32)
         keys = jax.random.split(key, T)
         for t in range(T):
-            acts = np.asarray(action_fn(keys[t], jnp.asarray(obs)))
+            acts = np.asarray(action_fn(keys[t], obs))
             states[t] = obs
             actions[t] = acts
             timesteps[t] = t_in_ep
@@ -206,7 +239,8 @@ class HostVecEnv:
 
 
 def make_grouped_host_rollout(vec_env: HostVecEnv, policy, horizon: int,
-                              n_tasks: int, episodes: int):
+                              n_tasks: int, episodes: int,
+                              policy_device: str | None = None):
     """Task-batched host rollout: ALL tasks' episodes step in lockstep
     through one vec env of ``n_tasks * episodes`` slots, so each policy
     round-trip (host -> device -> host) serves the whole meta-batch —
@@ -221,7 +255,8 @@ def make_grouped_host_rollout(vec_env: HostVecEnv, policy, horizon: int,
     Returns ``roll(params_stack, tasks, key) -> Trajectory`` with leading
     ``[n_tasks, T, episodes, ...]`` axes; ``params_stack`` has a leading
     ``[n_tasks]`` axis (per-task adapted policies — broadcast the shared
-    init for the first support rollout).
+    init for the first support rollout). ``policy_device``: see
+    :func:`make_host_rollout`.
     """
     if vec_env.n_envs != n_tasks * episodes:
         raise ValueError(f"vec env has {vec_env.n_envs} slots, need "
@@ -238,6 +273,7 @@ def make_grouped_host_rollout(vec_env: HostVecEnv, policy, horizon: int,
         if not isinstance(tasks, (list, tuple)):
             tasks = list(np.asarray(tasks))
         vec_env.set_tasks(tasks, episodes)
+        params_stack, key = _place_policy(policy_device, (params_stack, key))
         traj = vec_env.collect(
             lambda k, o: action_fn(params_stack, k, o), key, horizon)
 
@@ -277,10 +313,18 @@ def make_grouped_roll_factory(env_name: str, policy, cfg, seed: int,
     return factory
 
 
-def make_host_rollout(vec_env: HostVecEnv, policy, horizon: int):
+def make_host_rollout(vec_env: HostVecEnv, policy, horizon: int,
+                      policy_device: str | None = None):
     """Rollout closure with the device-env signature:
     ``(params, task, key) -> Trajectory``. The action fn is jitted once;
-    params are closed over per call (donated on device)."""
+    params are closed over per call.
+
+    ``policy_device`` (``None`` -> module default): ``"cpu"`` commits the
+    params + rollout key to the in-process CPU backend once per rollout,
+    making every per-step policy forward local instead of a
+    host->TPU->host round-trip — the win when device dispatch latency
+    (e.g. a tunneled/remote chip) dominates tiny per-step matmuls.
+    """
 
     @jax.jit
     def action_fn(params, key, obs):
@@ -290,6 +334,7 @@ def make_host_rollout(vec_env: HostVecEnv, policy, horizon: int):
         # Meta-World-style tasks are dicts — pass through untouched; array
         # tasks (goal vectors) are coerced off-device.
         vec_env.set_task(task if isinstance(task, dict) else np.asarray(task))
+        params, key = _place_policy(policy_device, (params, key))
         return vec_env.collect(
             lambda k, o: action_fn(params, k, o), key, horizon)
 

@@ -134,6 +134,11 @@ class RLScriptConfig:
                                  # opt state + RNG + iteration; new capability)
     bf16: bool = False           # bf16 policy compute graph, f32 master params
     ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
+    host_policy: str = "device"  # host envs: where per-step policy forwards
+                                 # run during collection — "device" (one
+                                 # TPU round-trip per env step) or "cpu"
+                                 # (local CPU backend; params sync once
+                                 # per rollout, zero per-step crossings)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -197,4 +202,11 @@ def rl_argparser(defaults: RLScriptConfig,
                    help="mixed precision: run the policy compute graph in "
                         "bf16 with f32 master params (accuracy parity-"
                         "gated, see scripts/parity_check.py --rl ... --bf16)")
+    p.add_argument("--host_policy", choices=["device", "cpu"],
+                   default=defaults.host_policy,
+                   help="host envs: run per-step collection policy forwards "
+                        "on the TPU ('device', one round-trip per env step) "
+                        "or the local CPU backend ('cpu', params sync once "
+                        "per rollout — wins when dispatch latency dominates "
+                        "the tiny per-step matmul)")
     return p

@@ -32,7 +32,14 @@ def main():
     p.add_argument("--task_batch", action="store_true",
                    help="host envs: adapt+evaluate all tasks in lockstep "
                         "through one n_tasks*episodes vec env")
+    p.add_argument("--host_policy", choices=["device", "cpu"],
+                   default="device",
+                   help="host envs: where per-step policy forwards run "
+                        "during collection (see trainers --host_policy)")
     args = p.parse_args()
+    if args.host_policy != "device":
+        from exploring_meta_tpu.envs.host import set_host_policy_device
+        set_host_policy_device(args.host_policy)
     eval_rl.run(args.path, run_cl=args.cl, run_rc=args.rc,
                 n_eval_tasks=args.task or args.n_eval_tasks,
                 each3=args.each3, test_on_train=args.test_on_train,

@@ -66,6 +66,27 @@ class TestHostVecEnv:
         invalid = np.asarray(traj.valid) == 0
         np.testing.assert_allclose(np.asarray(traj.reward)[invalid], 0.0)
 
+    def test_cpu_policy_device_matches(self, host_setup):
+        """policy_device="cpu" commits params/key to the local CPU backend
+        (envs/host.py _place_policy); on the CPU test backend the math is
+        identical, so trajectories must match the default path exactly."""
+        vec, policy, params, roll = host_setup
+        roll_cpu = make_host_rollout(vec, policy, horizon=12,
+                                     policy_device="cpu")
+        task = vec.sample_tasks(None, 1)[0]
+        t_dev = roll(params, task, jax.random.key(5))
+        t_cpu = roll_cpu(params, task, jax.random.key(5))
+        for a, b in zip(jax.tree_util.tree_leaves(t_dev),
+                        jax.tree_util.tree_leaves(t_cpu)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_set_host_policy_device_validates(self):
+        from exploring_meta_tpu.envs.host import set_host_policy_device
+        with pytest.raises(ValueError):
+            set_host_policy_device("tpu9")
+        set_host_policy_device("cpu")
+        set_host_policy_device("device")  # restore module default
+
     def test_within_episode_timesteps(self, host_setup):
         vec, policy, params, roll = host_setup
         task = vec.sample_tasks(None, 1)[0]
