@@ -502,6 +502,55 @@ def measure_host_rollout_cpu_policy() -> float:
     return _measure_host_rollout("native", policy_device="cpu")
 
 
+def _serve_setup(batch: int):
+    import jax
+    import jax.numpy as jnp
+    from exploring_meta_tpu import models
+    from exploring_meta_tpu.serve import VisionServer
+
+    spec = models.omniglot_spec(ways=WAYS)
+    params = models.init_cnn4(jax.random.key(0), spec)
+    server = VisionServer(spec, params, inner_lr=0.5, adapt_steps=1,
+                          compute_dtype=jnp.bfloat16)
+    k1, k2 = jax.random.split(jax.random.key(1))
+    sx = jax.random.normal(k1, (batch, SHOTS * WAYS, 28, 28, 1))
+    sy = jnp.tile(jnp.arange(WAYS), (batch, SHOTS))
+    qx = jax.random.normal(k2, (batch, 15, 28, 28, 1))
+    return server, sx, sy, qx
+
+
+def measure_serve_vision_batched() -> float:
+    """Few-shot serving throughput (requests/sec): B=64 concurrent
+    adapt+predict requests in ONE fused XLA program (serve.py
+    VisionServer.batch, bf16 compute)."""
+    import time as _t
+    B = 64
+    server, sx, sy, qx = _serve_setup(B)
+    preds, _ = server.batch(sx, sy, qx)          # compile
+    int(preds[0, 0])
+    reps, t0 = 5, _t.perf_counter()
+    for _ in range(reps):
+        preds, _ = server.batch(sx, sy, qx)
+    int(preds.sum())                              # ground-truth fetch
+    return B * reps / (_t.perf_counter() - t0)
+
+
+def measure_serve_vision_sequential() -> float:
+    """Baseline: the same requests served one jitted program at a time
+    (the reference's eval-script execution model — one task per step)."""
+    import time as _t
+    B = 16
+    server, sx, sy, qx = _serve_setup(B)
+    preds, _ = server(sx[0], sy[0], qx[0])       # compile
+    int(preds[0])
+    t0 = _t.perf_counter()
+    acc = 0
+    for i in range(B):
+        preds, _ = server(sx[i], sy[i], qx[i])
+        acc += int(preds[0])                     # per-request fetch, as a
+    return B / (_t.perf_counter() - t0)          # real serving loop would
+
+
 def _measure_host_collect(task_batched: bool,
                           policy_device: str = "device") -> float:
     """Full meta-batch collection pass on MuJoCo Ant (support rollouts +
@@ -621,6 +670,12 @@ CONFIGS = {
         "unit": "env_steps/sec",
         "measure": measure_host_collect_batched_cpu_policy,
         "baseline": measure_host_collect_sequential,
+    },
+    "serve_vision": {
+        "metric": "few_shot_serving_batched_requests",
+        "unit": "requests/sec",
+        "measure": measure_serve_vision_batched,
+        "baseline": measure_serve_vision_sequential,
     },
 }
 

@@ -1,0 +1,185 @@
+"""Production serving for meta-trained models.
+
+The reference has no serving path — deployment there means re-running the
+offline eval scripts (``misc_scripts/eval_vision.py`` /
+``eval_rl.py:29-45``) one task at a time. On TPU the natural serving unit
+is a single fused XLA program per request batch: inner-adapt on the
+request's support set and predict its queries in ONE dispatch, ``vmap``-ed
+over concurrent requests, optionally GSPMD-sharded over a device mesh for
+multi-chip serving. Inference-time adaptation takes no meta-gradient, so
+the programs are first-order by construction and cheap.
+
+- :class:`VisionServer` — few-shot classification:
+  ``(support_x, support_y, query_x) -> (predictions, probabilities)``
+  with the same inner-SGD semantics the model was meta-trained with
+  (reference ``core_functions/vision.py:6-18``; ANIL head-only inner
+  updates as in ``vision/anil_vision.py:86-99``).
+- :class:`PolicyServer` — meta-RL: adapt a policy from a collected
+  support :class:`~exploring_meta_tpu.rl.rollout.Trajectory` (vpg / ppo /
+  trpo inner updates, the reference's analysis-side semantics,
+  ``misc_scripts/cl_rl.py:70-87``) and expose jitted stochastic /
+  deterministic action fns for deployment.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from exploring_meta_tpu.adapt.maml import inner_sgd
+from exploring_meta_tpu.models.cnn4 import (
+    CNN4Spec, cnn4_apply, cnn4_features, cnn4_head_apply, init_cnn4,
+)
+from exploring_meta_tpu.ops.losses import cross_entropy
+from exploring_meta_tpu.rl.adapt_rl import RLConfig, single_adapt_step
+
+
+def _cast_tree(tree, dtype):
+    cast = lambda x: (x.astype(dtype)
+                      if jnp.issubdtype(x.dtype, jnp.floating) else x)
+    return jax.tree_util.tree_map(cast, tree)
+
+
+class VisionServer:
+    """Few-shot classification serving on a meta-trained CNN4.
+
+    One request = ``(support_x [S,H,W,C], support_y [S], query_x [Q,H,W,C])``
+    with S = shots*ways labeled examples of the new classes. ``__call__``
+    serves one request; :meth:`batch` serves B concurrent requests as one
+    vmapped XLA program — and shards them over ``mesh`` when given (GSPMD
+    partitions the request axis; params replicate).
+
+    ``compute_dtype=jnp.bfloat16`` runs adaptation + prediction in bf16
+    (the meta-step measurements in BASELINE.md show these models are
+    HBM-bandwidth-bound, so halved activation bytes ≈ halved latency);
+    predictions come back as f32 probabilities either way.
+    """
+
+    def __init__(self, spec: CNN4Spec, params, *, inner_lr: float,
+                 adapt_steps: int, anil: bool = False,
+                 compute_dtype=None, mesh: Mesh | None = None):
+        self.spec = spec
+        self.params = params
+        self.mesh = mesh
+
+        def adapt_predict(p, sx, sy, qx):
+            if compute_dtype is not None:
+                p = _cast_tree(p, compute_dtype)
+                sx = sx.astype(compute_dtype)
+                qx = qx.astype(compute_dtype)
+            if anil:
+                # Batch-stat BN parity with meta-training: the body
+                # encodes support+query jointly (adapt/vision.py
+                # fast_adapt_anil), then only the head adapts.
+                feats = cnn4_features(p, spec, jnp.concatenate([sx, qx]))
+                f_s, f_q = feats[: sx.shape[0]], feats[sx.shape[0]:]
+
+                def head_loss(head, batch):
+                    f, y = batch
+                    return cross_entropy(cnn4_head_apply({"head": head}, f),
+                                         y)
+
+                head = inner_sgd(head_loss, p["head"], (f_s, sy), inner_lr,
+                                 adapt_steps, first_order=True)
+                logits = cnn4_head_apply({"head": head}, f_q)
+            else:
+                def loss(pp, batch):
+                    x, y = batch
+                    return cross_entropy(cnn4_apply(pp, spec, x), y)
+
+                adapted = inner_sgd(loss, p, (sx, sy), inner_lr,
+                                    adapt_steps, first_order=True)
+                logits = cnn4_apply(adapted, spec, qx)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.argmax(probs, axis=-1), probs
+
+        self._one = jax.jit(adapt_predict)
+        self._batched = jax.jit(jax.vmap(adapt_predict,
+                                         in_axes=(None, 0, 0, 0)))
+
+    @classmethod
+    def from_checkpoint(cls, path: str, spec: CNN4Spec, **kwargs):
+        """Load ``model.npz`` / a checkpoint written by the trainers
+        (utils/experiment.py contract) and serve it."""
+        from exploring_meta_tpu.utils.experiment import load_params
+        template = init_cnn4(jax.random.key(0), spec)
+        return cls(spec, load_params(path, template), **kwargs)
+
+    def __call__(self, support_x, support_y, query_x):
+        """Serve one request -> ``(predicted_labels [Q], probs [Q, ways])``."""
+        return self._one(self.params, support_x, support_y, query_x)
+
+    def batch(self, support_x, support_y, query_x):
+        """Serve B concurrent requests (leading axis) as one program.
+
+        With a mesh, requests are committed sharded over its first axis
+        and params replicated, so the one jitted program partitions over
+        all mesh devices (per-request work is independent — zero
+        collectives in the serving path).
+        """
+        if self.mesh is not None:
+            axis = self.mesh.axis_names[0]
+            shard = NamedSharding(self.mesh, P(axis))
+            replicate = NamedSharding(self.mesh, P())
+            support_x, support_y, query_x = (
+                jax.device_put(support_x, shard),
+                jax.device_put(support_y, shard),
+                jax.device_put(query_x, shard))
+            params = jax.device_put(self.params, replicate)
+        else:
+            params = self.params
+        return self._batched(params, support_x, support_y, query_x)
+
+
+class PolicyServer:
+    """Meta-RL serving: adapt a meta-trained policy to a new task from a
+    collected support trajectory, then act.
+
+    ``adapt`` consumes a ``Trajectory`` (from any rollout path — device
+    scan, host vec env, or logged data) and returns adapted params via
+    the same first-order inner update the analysis tier uses
+    (rl/adapt_rl.py ``single_adapt_step``; reference cl_rl.py:70-87).
+    ``sample`` / ``act`` are jitted per-step fns for the serving loop —
+    ``act`` is the deterministic mean action (production control),
+    ``sample`` the stochastic one (matches training-time behavior).
+    """
+
+    def __init__(self, policy, params, cfg: RLConfig, algo: str = "vpg"):
+        if algo not in ("vpg", "ppo", "trpo"):
+            raise ValueError(f"unknown adaptation algorithm {algo!r}")
+        self.policy = policy
+        self.params = params
+        self.cfg = cfg
+        self._adapt = jax.jit(
+            lambda p, traj: single_adapt_step(algo, policy, p, traj, cfg))
+        self._adapt_batched = jax.jit(jax.vmap(
+            lambda p, traj: single_adapt_step(algo, policy, p, traj, cfg),
+            in_axes=(None, 0)))
+        self._sample = jax.jit(policy.sample)
+        if hasattr(policy, "density"):          # Gaussian policies: mean
+            det = lambda p, s: policy.density(p, s)[0]
+        else:                                   # Categorical: argmax logits
+            det = lambda p, s: jnp.argmax(policy.logits(p, s), axis=-1)
+        self._act = jax.jit(det)
+
+    def adapt(self, support, steps: int | None = None):
+        """-> adapted params after ``steps`` (default ``cfg.adapt_steps``)
+        inner updates on the support trajectory."""
+        params = self.params
+        for _ in range(steps or self.cfg.adapt_steps):
+            params = self._adapt(params, support)
+        return params
+
+    def adapt_batched(self, support_stack):
+        """Adapt to ``n`` tasks at once: ``support_stack`` has a leading
+        task axis; -> params stack with the same leading axis."""
+        return self._adapt_batched(self.params, support_stack)
+
+    def sample(self, params, key, obs):
+        return self._sample(params, key, obs)
+
+    def act(self, params, obs):
+        return self._act(params, obs)

@@ -1,0 +1,151 @@
+"""Serving-path tests (exploring_meta_tpu/serve.py): fused
+adapt-on-support + predict-on-query programs, request batching, mesh
+sharding, checkpoint loading, and RL policy adaptation serving."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from exploring_meta_tpu import models, rl
+from exploring_meta_tpu.serve import PolicyServer, VisionServer
+
+WAYS, SHOTS, Q = 5, 1, 10
+H = W = 28
+
+
+def _request(key, ways=WAYS, shots=SHOTS, q=Q):
+    kx, kq = jax.random.split(key)
+    sx = jax.random.normal(kx, (shots * ways, H, W, 1))
+    sy = jnp.tile(jnp.arange(ways), shots)
+    qx = jax.random.normal(kq, (q, H, W, 1))
+    return sx, sy, qx
+
+
+@pytest.fixture(scope="module")
+def vision_server():
+    spec = models.omniglot_spec(ways=WAYS)
+    params = models.init_cnn4(jax.random.key(0), spec)
+    return spec, params, VisionServer(spec, params, inner_lr=0.5,
+                                      adapt_steps=2)
+
+
+class TestVisionServer:
+    def test_single_request_contract(self, vision_server):
+        _, _, server = vision_server
+        sx, sy, qx = _request(jax.random.key(1))
+        preds, probs = server(sx, sy, qx)
+        assert preds.shape == (Q,)
+        assert probs.shape == (Q, WAYS)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0,
+                                   rtol=1e-5)
+
+    def test_adaptation_learns_the_support_set(self, vision_server):
+        # Query the SUPPORT inputs back: after inner SGD on them, the
+        # served predictions must label them better than chance.
+        _, _, server = vision_server
+        sx, sy, _ = _request(jax.random.key(2), shots=4)
+        preds, _ = server(sx, sy, sx)
+        acc = float((preds == sy).mean())
+        assert acc > 0.5, acc
+
+    def test_batch_matches_loop(self, vision_server):
+        _, _, server = vision_server
+        reqs = [_request(jax.random.key(10 + i)) for i in range(3)]
+        bx, by, bq = (jnp.stack([r[i] for r in reqs]) for i in range(3))
+        bpreds, bprobs = server.batch(bx, by, bq)
+        for i, (sx, sy, qx) in enumerate(reqs):
+            preds, probs = server(sx, sy, qx)
+            np.testing.assert_array_equal(np.asarray(bpreds[i]),
+                                          np.asarray(preds))
+            np.testing.assert_allclose(np.asarray(bprobs[i]),
+                                       np.asarray(probs), atol=1e-5)
+
+    def test_mesh_sharded_batch_matches(self, vision_server):
+        spec, params, _ = vision_server
+        from exploring_meta_tpu.parallel.mesh import make_task_mesh
+        mesh = make_task_mesh(8, axis="requests")
+        # One mild inner step: GSPMD partitioning reorders fusions, and
+        # inner SGD amplifies last-ulp differences chaotically — a short
+        # adaptation keeps the comparison numerically meaningful.
+        kw = dict(inner_lr=0.1, adapt_steps=1)
+        sharded = VisionServer(spec, params, mesh=mesh, **kw)
+        plain = VisionServer(spec, params, **kw)
+        reqs = [_request(jax.random.key(20 + i)) for i in range(8)]
+        bx, by, bq = (jnp.stack([r[i] for r in reqs]) for i in range(3))
+        preds_m, probs_m = sharded.batch(bx, by, bq)
+        preds, probs = plain.batch(bx, by, bq)
+        np.testing.assert_array_equal(np.asarray(preds_m),
+                                      np.asarray(preds))
+        np.testing.assert_allclose(np.asarray(probs_m), np.asarray(probs),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_anil_and_bf16_paths(self, vision_server):
+        spec = models.anil_omniglot_spec(ways=WAYS)
+        params = models.init_cnn4(jax.random.key(3), spec)
+        for dtype in (None, jnp.bfloat16):
+            server = VisionServer(spec, params, inner_lr=0.5, adapt_steps=1,
+                                  anil=True, compute_dtype=dtype)
+            sx, sy, qx = _request(jax.random.key(4))
+            preds, probs = server(sx, sy, qx)
+            assert preds.shape == (Q,)
+            assert probs.dtype == jnp.float32  # outputs f32 either way
+
+    def test_from_checkpoint(self, vision_server, tmp_path):
+        spec, params, server = vision_server
+        from exploring_meta_tpu.utils.experiment import flatten_params
+        path = str(tmp_path / "model.npz")
+        np.savez(path, **{k: np.asarray(v)
+                          for k, v in flatten_params(params).items()})
+        loaded = VisionServer.from_checkpoint(path, spec, inner_lr=0.5,
+                                              adapt_steps=2)
+        sx, sy, qx = _request(jax.random.key(5))
+        p1, _ = server(sx, sy, qx)
+        p2, _ = loaded(sx, sy, qx)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+class TestPolicyServer:
+    def _setup(self):
+        from exploring_meta_tpu.envs import Particles2D
+        env = Particles2D()
+        policy = models.DiagNormalPolicy(input_size=env.obs_size,
+                                         output_size=env.action_size)
+        params = policy.init(jax.random.key(0))
+        cfg = rl.RLConfig(inner_lr=0.1, adapt_steps=1, adapt_batch_size=4,
+                          max_path_length=12)
+        roll = rl.make_rollout(env, policy.sample, episodes=4, horizon=12)
+        task = env.sample_tasks(jax.random.key(1), 1)[0]
+        support = roll(params, task, jax.random.key(2))
+        return policy, params, cfg, support
+
+    def test_adapt_matches_analysis_semantics(self):
+        policy, params, cfg, support = self._setup()
+        server = PolicyServer(policy, params, cfg, algo="vpg")
+        adapted = server.adapt(support)
+        expected = rl.single_adapt_step("vpg", policy, params, support, cfg)
+        for a, b in zip(jax.tree_util.tree_leaves(adapted),
+                        jax.tree_util.tree_leaves(expected)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_batched_adapt_and_actions(self):
+        policy, params, cfg, support = self._setup()
+        server = PolicyServer(policy, params, cfg, algo="ppo")
+        stack = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, x]), support)
+        adapted = server.adapt_batched(stack)
+        lead = jax.tree_util.tree_leaves(adapted)[0]
+        assert lead.shape[0] == 2
+        obs = jnp.zeros((3, policy.input_size))
+        a_det = server.act(params, obs)
+        a_sto = server.sample(params, jax.random.key(3), obs)
+        assert a_det.shape == a_sto.shape == (3, policy.output_size)
+        # deterministic action is the Gaussian mean — reproducible
+        np.testing.assert_array_equal(np.asarray(a_det),
+                                      np.asarray(server.act(params, obs)))
+
+    def test_rejects_unknown_algo(self):
+        policy, params, cfg, _ = self._setup()
+        with pytest.raises(ValueError):
+            PolicyServer(policy, params, cfg, algo="sgd")
