@@ -56,6 +56,9 @@ def _place_policy(mode, tree):
     ``mode`` (``None`` -> the module default set by
     :func:`set_host_policy_device`)."""
     mode = mode or _POLICY_DEVICE_MODE
+    if mode not in ("device", "cpu"):  # typos must not silently fall
+        raise ValueError(f"host policy device must be 'device' or 'cpu', "
+                         f"got {mode!r}")  # back to the device path
     if mode == "cpu":
         return jax.device_put(tree, jax.devices("cpu")[0])
     return tree

@@ -23,8 +23,6 @@ the programs are first-order by construction and cheap.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -64,6 +62,11 @@ class VisionServer:
         self.spec = spec
         self.params = params
         self.mesh = mesh
+        if mesh is not None:
+            # Params never change between requests — replicate them onto
+            # the mesh ONCE, not per batch() call on the hot path.
+            self._mesh_params = jax.device_put(
+                params, NamedSharding(mesh, P()))
 
         def adapt_predict(p, sx, sy, qx):
             if compute_dtype is not None:
@@ -118,20 +121,28 @@ class VisionServer:
         With a mesh, requests are committed sharded over its first axis
         and params replicated, so the one jitted program partitions over
         all mesh devices (per-request work is independent — zero
-        collectives in the serving path).
+        collectives in the serving path). Ragged batches are padded up to
+        a device-count multiple (repeating the first request) and the
+        padding is sliced off the results.
         """
         if self.mesh is not None:
-            axis = self.mesh.axis_names[0]
-            shard = NamedSharding(self.mesh, P(axis))
-            replicate = NamedSharding(self.mesh, P())
+            B = support_x.shape[0]
+            n = self.mesh.size
+            pad = (-B) % n
+            if pad:
+                tile = lambda x: jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+                support_x, support_y, query_x = (
+                    tile(support_x), tile(support_y), tile(query_x))
+            shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
             support_x, support_y, query_x = (
                 jax.device_put(support_x, shard),
                 jax.device_put(support_y, shard),
                 jax.device_put(query_x, shard))
-            params = jax.device_put(self.params, replicate)
-        else:
-            params = self.params
-        return self._batched(params, support_x, support_y, query_x)
+            preds, probs = self._batched(self._mesh_params, support_x,
+                                         support_y, query_x)
+            return (preds[:B], probs[:B]) if pad else (preds, probs)
+        return self._batched(self.params, support_x, support_y, query_x)
 
 
 class PolicyServer:
@@ -155,9 +166,9 @@ class PolicyServer:
         self.cfg = cfg
         self._adapt = jax.jit(
             lambda p, traj: single_adapt_step(algo, policy, p, traj, cfg))
-        self._adapt_batched = jax.jit(jax.vmap(
-            lambda p, traj: single_adapt_step(algo, policy, p, traj, cfg),
-            in_axes=(None, 0)))
+        # stacked params in, stacked params out — iterable for multi-step
+        self._adapt_stacked = jax.jit(jax.vmap(
+            lambda p, traj: single_adapt_step(algo, policy, p, traj, cfg)))
         self._sample = jax.jit(policy.sample)
         if hasattr(policy, "density"):          # Gaussian policies: mean
             det = lambda p, s: policy.density(p, s)[0]
@@ -166,17 +177,24 @@ class PolicyServer:
         self._act = jax.jit(det)
 
     def adapt(self, support, steps: int | None = None):
-        """-> adapted params after ``steps`` (default ``cfg.adapt_steps``)
-        inner updates on the support trajectory."""
+        """-> adapted params after ``steps`` (default ``cfg.adapt_steps``;
+        ``steps=0`` returns the meta-params unchanged) inner updates on
+        the support trajectory."""
         params = self.params
-        for _ in range(steps or self.cfg.adapt_steps):
+        for _ in range(self.cfg.adapt_steps if steps is None else steps):
             params = self._adapt(params, support)
         return params
 
-    def adapt_batched(self, support_stack):
+    def adapt_batched(self, support_stack, steps: int | None = None):
         """Adapt to ``n`` tasks at once: ``support_stack`` has a leading
-        task axis; -> params stack with the same leading axis."""
-        return self._adapt_batched(self.params, support_stack)
+        task axis; -> params stack with the same leading axis. Applies
+        the same ``steps`` budget as :meth:`adapt`."""
+        n = jax.tree_util.tree_leaves(support_stack)[0].shape[0]
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), self.params)
+        for _ in range(self.cfg.adapt_steps if steps is None else steps):
+            params = self._adapt_stacked(params, support_stack)
+        return params
 
     def sample(self, params, key, obs):
         return self._sample(params, key, obs)

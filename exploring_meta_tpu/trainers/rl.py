@@ -125,11 +125,13 @@ class RLTrainer(Experiment):
             max_path_length=cfg.max_path_length,
             ppo_epochs=cfg.ppo_epochs, ppo_clip_ratio=cfg.ppo_clip_ratio,
             anil=self.anil)
-        if not is_device and getattr(cfg, "host_policy", "device") != "device":
+        if not is_device:
             # Host-env collection: route the per-step policy forward to the
             # chosen backend process-wide (eval/CL/RC paths inherit it).
+            # Always set it — a previous trainer in this process may have
+            # left the module default on another backend.
             from exploring_meta_tpu.envs.host import set_host_policy_device
-            set_host_policy_device(cfg.host_policy)
+            set_host_policy_device(getattr(cfg, "host_policy", "device"))
         if is_device:
             roll = rl.make_rollout(env, policy.sample,
                                    episodes=cfg.adapt_batch_size,

@@ -79,6 +79,12 @@ class TestVisionServer:
                                       np.asarray(preds))
         np.testing.assert_allclose(np.asarray(probs_m), np.asarray(probs),
                                    rtol=1e-3, atol=1e-4)
+        # Ragged batch: 5 requests on an 8-device mesh — padded up, then
+        # sliced back; results must match the unsharded server exactly.
+        preds_r, probs_r = sharded.batch(bx[:5], by[:5], bq[:5])
+        assert preds_r.shape[0] == probs_r.shape[0] == 5
+        np.testing.assert_array_equal(np.asarray(preds_r),
+                                      np.asarray(preds[:5]))
 
     def test_anil_and_bf16_paths(self, vision_server):
         spec = models.anil_omniglot_spec(ways=WAYS)
@@ -127,6 +133,24 @@ class TestPolicyServer:
         for a, b in zip(jax.tree_util.tree_leaves(adapted),
                         jax.tree_util.tree_leaves(expected)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_adapt_steps_budget(self):
+        # steps=0 is "no adaptation", and the batched path applies the
+        # SAME multi-step budget as the single-task path.
+        policy, params, cfg, support = self._setup()
+        cfg = cfg._replace(adapt_steps=2)
+        server = PolicyServer(policy, params, cfg, algo="vpg")
+        base = server.adapt(support, steps=0)
+        for a, b in zip(jax.tree_util.tree_leaves(base),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        single = server.adapt(support)               # 2 inner updates
+        stack = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), support)
+        batched = server.adapt_batched(stack)        # 2 updates per task
+        for a, b in zip(jax.tree_util.tree_leaves(single),
+                        jax.tree_util.tree_leaves(batched)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b)[0],
                                        atol=1e-6)
 
     def test_batched_adapt_and_actions(self):
