@@ -28,7 +28,7 @@ from exploring_meta_tpu.rl.replay_meta import (
 )
 from exploring_meta_tpu.utils.config import RLScriptConfig
 from exploring_meta_tpu.utils.experiment import Experiment
-from exploring_meta_tpu.utils.profiling import PhaseTimer
+from exploring_meta_tpu.utils.profiling import PhaseTimer, device_trace
 
 
 def make_device_env(name: str):
@@ -170,7 +170,10 @@ class RLTrainer(Experiment):
         t = trange(start_iteration, cfg.num_iterations,
                    initial=start_iteration, total=cfg.num_iterations)
         iteration = start_iteration
+        trace_ctx = (device_trace(cfg.trace) if getattr(cfg, "trace", "")
+                     else contextlib.nullcontext())
         try:
+          with trace_ctx:
             if use_fused:
                 # rebind key: the final meta-test below must not reuse the
                 # RNG stream that generated the training chunks

@@ -19,7 +19,7 @@ from tqdm import trange
 from exploring_meta_tpu import adapt, models, parallel, tasks
 from exploring_meta_tpu.utils.config import VisionConfig
 from exploring_meta_tpu.utils.experiment import Experiment
-from exploring_meta_tpu.utils.profiling import PhaseTimer
+from exploring_meta_tpu.utils.profiling import PhaseTimer, device_trace
 
 
 def _build_spec(cfg: VisionConfig, anil: bool):
@@ -97,7 +97,10 @@ class VisionTrainer(Experiment):
         t = trange(start_iteration, cfg.num_iterations,
                    initial=start_iteration, total=cfg.num_iterations)
         iteration = start_iteration
+        trace_ctx = (device_trace(cfg.trace) if getattr(cfg, "trace", "")
+                     else contextlib.nullcontext())
         try:
+          with trace_ctx:
             if cfg.fuse > 1:
                 # Fused path: `fuse` whole meta-iterations (train step +
                 # valid eval each) per XLA program — one dispatch per

@@ -32,6 +32,7 @@ class VisionConfig:
     use_wandb: bool = False
     resume: str = ""             # checkpoint .npz to resume from (new capability)
     profile: bool = False        # per-phase timing -> phase_times.json
+    trace: str = ""              # jax.profiler trace dir (TensorBoard/XProf)
     fuse: int = 1                # iterations fused per XLA program (lax.scan)
     async_ckpt: bool = False     # checkpoint writes on a background thread
     bf16: bool = False           # bf16 compute graph, f32 master params
@@ -74,6 +75,10 @@ def vision_argparser(defaults: VisionConfig,
                    help="checkpoint .npz to resume training from")
     p.add_argument("--profile", action="store_true", default=defaults.profile,
                    help="record per-phase device times -> phase_times.json")
+    p.add_argument("--trace", type=str, default=defaults.trace,
+                   help="capture a jax.profiler device trace of the "
+                        "training loop into this directory "
+                        "(TensorBoard/XProf)")
     p.add_argument("--fuse", type=int, default=defaults.fuse,
                    help="meta-iterations fused into one XLA program "
                         "(composes with --mesh; checkpoints land on chunk "
@@ -126,6 +131,7 @@ class RLScriptConfig:
     mesh: int = 1                # devices for task-DP sharding of the outer
                                  # step (TRPO CG/line-search AND Adam paths)
     profile: bool = False        # per-phase timing -> phase_times.json
+    trace: str = ""              # jax.profiler trace dir (TensorBoard/XProf)
     fuse: int = 1                # iterations fused per XLA program (device envs)
     task_batch: bool = False     # host envs: collect the whole meta-batch
                                  # through one meta_batch*episodes vec env
@@ -178,6 +184,10 @@ def rl_argparser(defaults: RLScriptConfig,
                    default=defaults.use_wandb)
     p.add_argument("--profile", action="store_true", default=defaults.profile,
                    help="record per-phase device times -> phase_times.json")
+    p.add_argument("--trace", type=str, default=defaults.trace,
+                   help="capture a jax.profiler device trace of the "
+                        "training loop into this directory "
+                        "(TensorBoard/XProf)")
     p.add_argument("--fuse", type=int, default=defaults.fuse,
                    help="meta-iterations fused into one XLA program "
                         "(device envs; composes with --mesh)")

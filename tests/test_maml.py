@@ -327,6 +327,29 @@ class TestFusedTrainer:
 
 
 @pytest.mark.slow
+class TestDeviceTrace:
+    def test_trace_flag_writes_profiler_artifacts(self, tmp_path,
+                                                  monkeypatch):
+        """--trace <dir> wraps the training loop in jax.profiler tracing
+        (utils/profiling.py device_trace) and must leave XPlane artifacts
+        behind for TensorBoard/XProf."""
+        import glob
+        monkeypatch.chdir(tmp_path)
+        from exploring_meta_tpu.trainers import VisionTrainer
+        from exploring_meta_tpu.utils.config import VisionConfig
+
+        trace_dir = str(tmp_path / "trace")
+        cfg = VisionConfig(dataset="omni", num_iterations=1,
+                           meta_batch_size=2, save_every=10, synthetic=True,
+                           trace=trace_dir)
+        VisionTrainer(cfg, anil=False).run()
+        files = glob.glob(os.path.join(trace_dir, "**", "*"),
+                          recursive=True)
+        assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+                   or "xplane" in f for f in files), files
+
+
+@pytest.mark.slow
 class TestResume:
     def test_trainer_resume_continues_iteration_count(self, tmp_path,
                                                       monkeypatch):
