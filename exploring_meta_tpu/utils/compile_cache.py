@@ -1,0 +1,58 @@
+"""Persistent XLA compilation cache (fresh-process startup cost killer).
+
+The reference stack has no analog: torch eager pays no compile cost. On
+TPU, every jitted program is compiled by XLA at first dispatch — through
+this image's remote runtime that costs 20 s for small programs and tens
+of minutes for the big fused/bf16 train scans (BASELINE.md). JAX's
+persistent compilation cache serializes compiled executables keyed on
+(HLO, compile options, runtime version), so a re-run, a resumed run, or
+an eval process over the same program skips straight to execution.
+
+``enable_compile_cache`` is wired into every trainer/analysis script via
+the ``--compile_cache`` flag (default: ON, at
+``~/.cache/exploring_meta_tpu/xla``; pass ``--compile_cache off`` to
+disable, or a path to relocate). Cache misses/hits can be audited with
+``JAX_EXPLAIN_CACHE_MISSES=1``.
+
+Safe-by-construction: entries are keyed on the exact HLO + jaxlib +
+runtime version, so stale entries can't be loaded; on backends whose
+runtime does not support executable serialization JAX falls back to
+compiling (warnings only — ``jax_raise_persistent_cache_errors`` stays
+False).
+"""
+
+from __future__ import annotations
+
+import os
+
+_OFF = ("off", "none", "0", "false")
+
+
+def enable_compile_cache(path: str | None = None, *,
+                         min_compile_secs: float = 1.0) -> str | None:
+    """Turn on JAX's persistent compilation cache.
+
+    ``path``: cache directory; ``None``/"" uses ``$EMT_COMPILE_CACHE`` or
+    ``~/.cache/exploring_meta_tpu/xla``; the strings "off"/"none"/"0"
+    disable and return None. Programs cheaper than ``min_compile_secs``
+    to compile are not persisted (they recompile faster than they
+    deserialize). Returns the directory in use.
+    """
+    if path is not None and path.strip().lower() in _OFF:
+        return None
+    if not path:
+        path = os.environ.get("EMT_COMPILE_CACHE", "")
+        if path.strip().lower() in _OFF:
+            return None
+    if not path:
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "exploring_meta_tpu", "xla")
+    os.makedirs(path, exist_ok=True)
+
+    import jax
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

@@ -37,6 +37,8 @@ class VisionConfig:
     async_ckpt: bool = False     # checkpoint writes on a background thread
     bf16: bool = False           # bf16 compute graph, f32 master params
     ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
+    compile_cache: str = ""      # persistent XLA compile cache dir
+                                 # ("" = default location, "off" disables)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -96,6 +98,10 @@ def vision_argparser(defaults: VisionConfig,
                    help="mixed precision: bf16 compute graph with f32 "
                         "master params/optimizer (~1.4x on TPU; accuracy "
                         "parity-gated, see scripts/parity_check.py --bf16)")
+    p.add_argument("--compile_cache", type=str, default=defaults.compile_cache,
+                   help="persistent XLA compilation cache directory "
+                        "(default ~/.cache/exploring_meta_tpu/xla; "
+                        "'off' disables) — re-runs skip recompilation")
     return p
 
 
@@ -145,6 +151,8 @@ class RLScriptConfig:
                                  # TPU round-trip per env step) or "cpu"
                                  # (local CPU backend; params sync once
                                  # per rollout, zero per-step crossings)
+    compile_cache: str = ""      # persistent XLA compile cache dir
+                                 # ("" = default location, "off" disables)
 
     def to_params(self) -> dict:
         return asdict(self)
@@ -219,4 +227,8 @@ def rl_argparser(defaults: RLScriptConfig,
                         "or the local CPU backend ('cpu', params sync once "
                         "per rollout — wins when dispatch latency dominates "
                         "the tiny per-step matmul)")
+    p.add_argument("--compile_cache", type=str, default=defaults.compile_cache,
+                   help="persistent XLA compilation cache directory "
+                        "(default ~/.cache/exploring_meta_tpu/xla; "
+                        "'off' disables) — re-runs skip recompilation")
     return p

@@ -59,6 +59,12 @@ class Experiment:
         params.setdefault("seed", 42)
         self.params = params
 
+        # Persistent XLA compile cache: default ON for every experiment
+        # (fresh-process recompiles cost minutes through the remote
+        # runtime); "off" in the config disables.
+        from exploring_meta_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(params.get("compile_cache", ""))
+
         rng = np.random.default_rng()
         self.logger = {
             "config": self.params,

@@ -496,7 +496,14 @@ def main():
                    help="ANIL: frozen-body head-only inner loop. Vision "
                         "mode (reference vision/anil_vision.py:86-99) and "
                         "RL mode (DiagNormalPolicyANIL, rl/anil_*.py)")
+    p.add_argument("--compile_cache", type=str, default="",
+                   help="persistent XLA compile cache dir ('' = default, "
+                        "'off' disables) — repeat parity runs skip the "
+                        "multi-minute remote compiles")
     args = p.parse_args()
+
+    from exploring_meta_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
 
     if args.rl:
         args.iters = args.iters if args.iters is not None else 30

@@ -15,6 +15,11 @@ import os
 import jax
 import pytest
 
+# Tests never use the persistent compile cache (Experiment turns it on by
+# default): CPU AOT cache loads warn loudly on machine-feature mismatches
+# and tiny test programs recompile faster than they deserialize.
+os.environ.setdefault("EMT_COMPILE_CACHE", "off")
+
 if os.environ.get("EMT_TEST_TPU") != "1":
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
