@@ -49,6 +49,10 @@ class VisionTrainer(Experiment):
         train_ds, valid_ds, test_ds = tasks.get_dataset(
             cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
 
+        if cfg.conv_impl != "direct":
+            from exploring_meta_tpu.models.layers import set_conv_impl
+            set_conv_impl(cfg.conv_impl)
+
         spec = _build_spec(cfg, self.anil)
         key = jax.random.key(cfg.seed)
         key, init_key = jax.random.split(key)

@@ -10,7 +10,20 @@ does, plus TPU-specific extras like ``--synthetic`` and ``--mesh``).
 from __future__ import annotations
 
 import argparse
+import os
 from dataclasses import dataclass, asdict
+
+
+def force_cpu_if_requested() -> None:
+    """``EMT_FORCE_CPU=1`` routes the run to the in-process CPU backend —
+    debug/smoke runs off-TPU. The axon sitecustomize pre-imports jax, but
+    the backend is not initialized until first use, so flipping the
+    platform here still takes effect (same trick as tests/conftest.py).
+    Called by every argparser builder, i.e. automatically by all CLI
+    scripts before any jax computation."""
+    if os.environ.get("EMT_FORCE_CPU") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
 
 @dataclass
@@ -36,6 +49,7 @@ class VisionConfig:
     fuse: int = 1                # iterations fused per XLA program (lax.scan)
     async_ckpt: bool = False     # checkpoint writes on a background thread
     bf16: bool = False           # bf16 compute graph, f32 master params
+    conv_impl: str = "direct"    # stride-2 conv lowering: "direct" | "s2d"
     ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
     compile_cache: str = ""      # persistent XLA compile cache dir
                                  # ("" = default location, "off" disables)
@@ -46,6 +60,7 @@ class VisionConfig:
 
 def vision_argparser(defaults: VisionConfig,
                      description: str) -> argparse.ArgumentParser:
+    force_cpu_if_requested()
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--dataset", type=str, default=defaults.dataset,
                    help="Pick a dataset (omni | min)")
@@ -102,6 +117,12 @@ def vision_argparser(defaults: VisionConfig,
                    help="persistent XLA compilation cache directory "
                         "(default ~/.cache/exploring_meta_tpu/xla; "
                         "'off' disables) — re-runs skip recompilation")
+    p.add_argument("--conv_impl", choices=["direct", "s2d"],
+                   default=defaults.conv_impl,
+                   help="stride-2 conv lowering: direct conv, or the exact "
+                        "space-to-depth reformulation (2x2 conv over 4x "
+                        "channels — MXU-friendlier for the small CNN4 "
+                        "widths; see models/layers.py)")
     return p
 
 
@@ -160,6 +181,7 @@ class RLScriptConfig:
 
 def rl_argparser(defaults: RLScriptConfig,
                  description: str) -> argparse.ArgumentParser:
+    force_cpu_if_requested()
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--env", type=str, default=defaults.env,
                    help="Environment (Particles2D-v1 | AntDirection-v1 | "

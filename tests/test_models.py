@@ -316,3 +316,58 @@ def test_synthetic_false_requires_packed_data(tmp_path, monkeypatch):
     # tri-state None keeps the hermetic fallback
     train, _, _ = ds.load_omniglot(synthetic=None, synthetic_classes=8)
     assert train.n_classes > 0
+
+
+class TestS2DConv:
+    """The space-to-depth lowering of the stride-2 3x3 conv blocks
+    (layers.set_conv_impl("s2d")) is an exact reformulation: same forward,
+    same meta-gradients, stride-1/maxpool specs untouched."""
+
+    def _run_both(self, fn):
+        from exploring_meta_tpu.models import layers
+        try:
+            layers.set_conv_impl("direct")
+            a = fn()
+            layers.set_conv_impl("s2d")
+            b = fn()
+        finally:
+            layers.set_conv_impl("direct")
+        return a, b
+
+    @pytest.mark.parametrize("spec_fn", [models.omniglot_spec,
+                                         models.anil_omniglot_spec])
+    def test_forward_exact(self, spec_fn):
+        spec = spec_fn(ways=5)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        x = jax.random.normal(jax.random.key(1), (10, 28, 28, 1))
+        a, b = self._run_both(
+            lambda: jax.jit(models.cnn4_apply, static_argnums=1)(params, spec, x))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_meta_gradients_exact(self):
+        from exploring_meta_tpu import adapt
+        spec = models.omniglot_spec(ways=5)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.5, adapt_steps=1,
+                                          shots=1, ways=5)
+        key = jax.random.key(2)
+        data = jax.random.normal(key, (10, 28, 28, 1))
+        labels = jnp.tile(jnp.arange(5), 2)[jnp.argsort(jnp.tile(jnp.arange(5), 2))]
+
+        def grads():
+            g = jax.jit(jax.grad(lambda p: fa(p, data, labels).loss))(params)
+            return jax.tree_util.tree_leaves(g)
+
+        a, b = self._run_both(grads)
+        for ga, gb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=5e-4, atol=1e-5)
+
+    def test_maxpool_spec_unaffected(self):
+        spec = models.mini_imagenet_spec(ways=5)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        x = jax.random.normal(jax.random.key(1), (4, 84, 84, 3))
+        a, b = self._run_both(
+            lambda: jax.jit(models.cnn4_apply, static_argnums=1)(params, spec, x))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
