@@ -44,12 +44,19 @@ def enable_compile_cache(path: str | None = None, *,
         path = os.environ.get("EMT_COMPILE_CACHE", "")
         if path.strip().lower() in _OFF:
             return None
+    import jax
     if not path:
+        # Default-on only for the accelerator backend. XLA:CPU cache
+        # entries are AOT machine code whose cache key does NOT include
+        # the host's CPU features — with this image's remote compile
+        # service the compile machine differs from the execution host
+        # (cpu_aot_loader warns about possible SIGILL when loading such
+        # entries). An explicit --compile_cache path still opts in on CPU.
+        if jax.default_backend() == "cpu":
+            return None
         path = os.path.join(os.path.expanduser("~"), ".cache",
                             "exploring_meta_tpu", "xla")
     os.makedirs(path, exist_ok=True)
-
-    import jax
     jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -49,12 +49,17 @@ def test_env_var_path(tmp_path, monkeypatch):
     assert os.path.isdir(d)
 
 
-def test_default_location(monkeypatch, tmp_path):
+def test_default_off_on_cpu_backend(monkeypatch, tmp_path):
+    """The default-on location applies only to the accelerator backend:
+    XLA:CPU AOT entries aren't keyed on host CPU features and the remote
+    compile service's machine differs from this host (SIGILL hazard), so
+    with no explicit path the CPU backend gets no persistent cache."""
     monkeypatch.delenv("EMT_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("HOME", str(tmp_path))
-    d = enable_compile_cache(None)
-    assert d == str(tmp_path / ".cache" / "exploring_meta_tpu" / "xla")
-    assert os.path.isdir(d)
+    assert jax.default_backend() == "cpu"  # the suite runs on CPU
+    assert enable_compile_cache(None) is None
+    assert not os.path.isdir(
+        tmp_path / ".cache" / "exploring_meta_tpu" / "xla")
 
 
 def test_jit_writes_entries(tmp_path):
