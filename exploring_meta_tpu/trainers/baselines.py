@@ -24,7 +24,7 @@ from exploring_meta_tpu.models.distributions import normal_kl, normal_log_prob
 from exploring_meta_tpu.trainers.rl import build_policy
 from exploring_meta_tpu.trainers.vision import _build_spec
 from exploring_meta_tpu.utils.config import RLScriptConfig, VisionConfig
-from exploring_meta_tpu.utils.experiment import Experiment
+from exploring_meta_tpu.utils.experiment import DivergenceError, Experiment
 
 
 # ---------------------------------------------------------------------------
@@ -139,9 +139,8 @@ class PPOBaseline(Experiment):
                 self.log_metrics(metrics)
                 if iteration % cfg.save_every == 0:
                     self.save_model_checkpoint(params, iteration + 1)
-        except KeyboardInterrupt:
-            print("\nManually stopped training!\n")
-            self.logger["manually_stopped"] = True
+        except (KeyboardInterrupt, DivergenceError) as stop:
+            self.mark_stopped(stop)
             self.params["num_iterations"] = iteration
 
         self.save_model(params)
@@ -269,9 +268,8 @@ class TRPOBaseline(Experiment):
                 self.log_metrics(metrics)
                 if iteration % cfg.save_every == 0:
                     self.save_model_checkpoint(params, iteration + 1)
-        except KeyboardInterrupt:
-            print("\nManually stopped training!\n")
-            self.logger["manually_stopped"] = True
+        except (KeyboardInterrupt, DivergenceError) as stop:
+            self.mark_stopped(stop)
             self.params["num_iterations"] = iteration
 
         self.save_model(params)
@@ -366,9 +364,8 @@ class RandomPolicyBaseline(Experiment):
                                           "model_checkpoints",
                                           f"baseline_{iteration + 1}.npz"),
                              weight=np.asarray(baseline_w))
-        except KeyboardInterrupt:
-            print("\nManually stopped training!\n")
-            self.logger["manually_stopped"] = True
+        except (KeyboardInterrupt, DivergenceError) as stop:
+            self.mark_stopped(stop)
             self.params["num_iterations"] = iteration
 
         self.save_model(params)
@@ -454,9 +451,8 @@ class VisionBaseline(Experiment):
                 self.log_metrics(metrics)
                 if iteration % cfg.save_every == 0:
                     self.save_model_checkpoint(params, iteration)
-        except KeyboardInterrupt:
-            print("\nManually stopped training!\n")
-            self.logger["manually_stopped"] = True
+        except (KeyboardInterrupt, DivergenceError) as stop:
+            self.mark_stopped(stop)
             self.params["num_iterations"] = iteration
 
         self.save_model(params)

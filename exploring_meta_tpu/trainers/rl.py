@@ -27,7 +27,7 @@ from exploring_meta_tpu.rl.replay_meta import (
     collect_replays, make_replay_meta_loss,
 )
 from exploring_meta_tpu.utils.config import RLScriptConfig
-from exploring_meta_tpu.utils.experiment import Experiment
+from exploring_meta_tpu.utils.experiment import DivergenceError, Experiment
 from exploring_meta_tpu.utils.profiling import PhaseTimer, device_trace
 
 
@@ -192,9 +192,8 @@ class RLTrainer(Experiment):
                                                    opt_state=state,
                                                    rng_key=key,
                                                    async_write=cfg.async_ckpt)
-        except KeyboardInterrupt:
-            print("\nManually stopped training! Start evaluation & saving...\n")
-            self.logger["manually_stopped"] = True
+        except (KeyboardInterrupt, DivergenceError) as stop:
+            self.mark_stopped(stop)
             if use_fused:
                 # the helper tracks completed-chunk progress on self; the
                 # local `iteration` is only set on normal return

@@ -18,7 +18,7 @@ from tqdm import trange
 
 from exploring_meta_tpu import adapt, models, parallel, tasks
 from exploring_meta_tpu.utils.config import VisionConfig
-from exploring_meta_tpu.utils.experiment import Experiment
+from exploring_meta_tpu.utils.experiment import DivergenceError, Experiment
 from exploring_meta_tpu.utils.profiling import PhaseTimer, device_trace
 
 
@@ -210,9 +210,8 @@ class VisionTrainer(Experiment):
                                                    opt_state=opt_state,
                                                    rng_key=key,
                                                    async_write=cfg.async_ckpt)
-        except KeyboardInterrupt:
-            print("\nManually stopped training! Start evaluation & saving...\n")
-            self.logger["manually_stopped"] = True
+        except (KeyboardInterrupt, DivergenceError) as stop:
+            self.mark_stopped(stop)
             self.params["num_iterations"] = iteration
 
         self.flush_checkpoints()

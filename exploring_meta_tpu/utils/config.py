@@ -50,6 +50,7 @@ class VisionConfig:
     async_ckpt: bool = False     # checkpoint writes on a background thread
     bf16: bool = False           # bf16 compute graph, f32 master params
     conv_impl: str = "direct"    # stride-2 conv lowering: "direct" | "s2d"
+    nan_guard: bool = True       # stop + save when train loss goes non-finite
     ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
     compile_cache: str = ""      # persistent XLA compile cache dir
                                  # ("" = default location, "off" disables)
@@ -123,6 +124,11 @@ def vision_argparser(defaults: VisionConfig,
                         "space-to-depth reformulation (2x2 conv over 4x "
                         "channels — MXU-friendlier for the small CNN4 "
                         "widths; see models/layers.py)")
+    p.add_argument("--no_nan_guard", dest="nan_guard", action="store_false",
+                   default=defaults.nan_guard,
+                   help="disable the divergence watchdog (by default a "
+                        "non-finite training loss stops the run gracefully: "
+                        "state saved, logger marked 'diverged')")
     return p
 
 
@@ -166,6 +172,7 @@ class RLScriptConfig:
     resume: str = ""             # checkpoint .npz to resume from (params +
                                  # opt state + RNG + iteration; new capability)
     bf16: bool = False           # bf16 policy compute graph, f32 master params
+    nan_guard: bool = True       # stop + save when train loss goes non-finite
     ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
     host_policy: str = "device"  # host envs: where per-step policy forwards
                                  # run during collection — "device" (one
@@ -253,4 +260,9 @@ def rl_argparser(defaults: RLScriptConfig,
                    help="persistent XLA compilation cache directory "
                         "(default ~/.cache/exploring_meta_tpu/xla; "
                         "'off' disables) — re-runs skip recompilation")
+    p.add_argument("--no_nan_guard", dest="nan_guard", action="store_false",
+                   default=defaults.nan_guard,
+                   help="disable the divergence watchdog (by default a "
+                        "non-finite training loss stops the run gracefully: "
+                        "state saved, logger marked 'diverged')")
     return p

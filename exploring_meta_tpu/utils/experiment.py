@@ -48,6 +48,15 @@ def unflatten_into(tree, flat: dict, prefix: str = ""):
     return jax.tree_util.tree_map_with_path(rebuild, tree)
 
 
+class DivergenceError(RuntimeError):
+    """Raised by the training-loss watchdog when a logged ``*loss`` metric
+    goes non-finite. Trainers catch it next to KeyboardInterrupt and run
+    the same graceful finish (mark logger, save state, evaluate) — failure
+    detection the reference lacks (SURVEY.md §5): a diverged run preserves
+    its artifacts and the iteration it died at instead of burning the rest
+    of its budget on NaNs."""
+
+
 class Experiment:
     """Logger/checkpointer each trainer inherits (reference Experiment)."""
 
@@ -58,6 +67,7 @@ class Experiment:
         params["dataset"] = dataset
         params.setdefault("seed", 42)
         self.params = params
+        self.nan_guard = bool(params.get("nan_guard", True))
 
         # Persistent XLA compile cache: default ON for every experiment
         # (fresh-process recompiles cost minutes through the remote
@@ -101,12 +111,36 @@ class Experiment:
     # -- metrics -----------------------------------------------------------
 
     def log_metrics(self, metrics: dict, step: int | None = None) -> None:
+        diverged = None
         for key, value in metrics.items():
-            self.metrics.setdefault(key, []).append(
-                float(value) if np.isscalar(value) or hasattr(value, "item")
-                else value)
+            scalar = (float(value)
+                      if np.isscalar(value) or hasattr(value, "item")
+                      else value)
+            self.metrics.setdefault(key, []).append(scalar)
+            # NaN watchdog (``nan_guard`` config key, default on): the
+            # non-finite value is appended first so metrics.json keeps the
+            # evidence, then the loop is unwound via DivergenceError.
+            if (self.nan_guard and "loss" in key
+                    and isinstance(scalar, float) and not np.isfinite(scalar)):
+                diverged = (key, scalar)
         if self._use_wandb:  # pragma: no cover
             self._wandb.log(metrics, step=step)
+        if diverged is not None:
+            raise DivergenceError(
+                f"{diverged[0]} = {diverged[1]} at logged step "
+                f"{len(self.metrics[diverged[0]]) - 1}")
+
+    def mark_stopped(self, exc: BaseException) -> None:
+        """Shared KeyboardInterrupt/DivergenceError bookkeeping for the
+        trainers' graceful-finish path."""
+        if isinstance(exc, DivergenceError):
+            print(f"\nTraining loss diverged ({exc}) — stopping, saving "
+                  "state & evaluating...\n")
+            self.logger["diverged"] = str(exc)
+        else:
+            print("\nManually stopped training! Start evaluation & "
+                  "saving...\n")
+            self.logger["manually_stopped"] = True
 
     def log_model(self, params, name: str = "model") -> None:
         """Architecture summary dump (reference's torchsummary analog)."""

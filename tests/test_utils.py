@@ -206,3 +206,56 @@ class TestAsyncCheckpoints:
         ckpts = glob.glob(os.path.join(t.model_path, "model_checkpoints",
                                        "*.npz"))
         assert len(ckpts) == 3
+
+
+class TestDivergenceWatchdog:
+    """NaN watchdog: a non-finite ``*loss`` metric raises DivergenceError
+    (after recording the evidence), trainers catch it and finish
+    gracefully with logger['diverged'] set."""
+
+    def _exp(self, tmp_path, monkeypatch, **params):
+        monkeypatch.chdir(tmp_path)
+        from exploring_meta_tpu.utils.experiment import Experiment
+        return Experiment("algo", "ds", params, path="results/")
+
+    def test_nan_loss_raises_and_records(self, tmp_path, monkeypatch):
+        from exploring_meta_tpu.utils.experiment import DivergenceError
+        exp = self._exp(tmp_path, monkeypatch)
+        exp.log_metrics({"train_loss": 1.0})
+        with pytest.raises(DivergenceError):
+            exp.log_metrics({"train_loss": float("nan")})
+        assert np.isnan(exp.metrics["train_loss"][-1])  # evidence kept
+        with pytest.raises(DivergenceError):
+            exp.log_metrics({"valid_loss": float("inf")})
+
+    def test_non_loss_keys_and_off_switch(self, tmp_path, monkeypatch):
+        exp = self._exp(tmp_path, monkeypatch)
+        exp.log_metrics({"test_acc": float("nan"),
+                         "adapt_reward": float("-inf")})  # no raise
+        exp2 = self._exp(tmp_path, monkeypatch, nan_guard=False)
+        exp2.log_metrics({"train_loss": float("nan")})  # no raise
+
+    def test_trainer_finishes_gracefully(self, tmp_path, monkeypatch):
+        """A NaN-poisoned vision run stops at the first logged iteration,
+        marks the logger, and still saves model + metrics + test eval."""
+        import exploring_meta_tpu.tasks as tasks_mod
+        from exploring_meta_tpu.trainers import VisionTrainer
+        from exploring_meta_tpu.utils.config import VisionConfig
+
+        monkeypatch.chdir(tmp_path)
+        real_sample = tasks_mod.sample_task_batch
+
+        def poisoned(key, ds, ways, shots, batch):
+            data, labels = real_sample(key, ds, ways, shots, batch)
+            return data * float("nan"), labels
+
+        monkeypatch.setattr(tasks_mod, "sample_task_batch", poisoned)
+        cfg = VisionConfig(synthetic=True, num_iterations=5,
+                           meta_batch_size=2, save_every=10,
+                           compile_cache="off")
+        tr = VisionTrainer(cfg, anil=False, path=str(tmp_path) + "/results/")
+        tr.run()
+        assert "diverged" in tr.logger
+        assert tr.params["num_iterations"] < 5  # truncated like an interrupt
+        assert os.path.exists(os.path.join(tr.model_path, "model.npz"))
+        assert os.path.exists(os.path.join(tr.model_path, "metrics.json"))
