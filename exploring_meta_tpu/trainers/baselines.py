@@ -140,8 +140,7 @@ class PPOBaseline(Experiment):
                 if iteration % cfg.save_every == 0:
                     self.save_model_checkpoint(params, iteration + 1)
         except (KeyboardInterrupt, DivergenceError) as stop:
-            self.mark_stopped(stop)
-            self.params["num_iterations"] = iteration
+            self.mark_stopped(stop, iteration)
 
         self.save_model(params)
         self.logger["elapsed_time"] = f"{round(t.format_dict['elapsed'], 2)} sec"
@@ -269,8 +268,7 @@ class TRPOBaseline(Experiment):
                 if iteration % cfg.save_every == 0:
                     self.save_model_checkpoint(params, iteration + 1)
         except (KeyboardInterrupt, DivergenceError) as stop:
-            self.mark_stopped(stop)
-            self.params["num_iterations"] = iteration
+            self.mark_stopped(stop, iteration)
 
         self.save_model(params)
         self.logger["elapsed_time"] = f"{round(t.format_dict['elapsed'], 2)} sec"
@@ -365,8 +363,7 @@ class RandomPolicyBaseline(Experiment):
                                           f"baseline_{iteration + 1}.npz"),
                              weight=np.asarray(baseline_w))
         except (KeyboardInterrupt, DivergenceError) as stop:
-            self.mark_stopped(stop)
-            self.params["num_iterations"] = iteration
+            self.mark_stopped(stop, iteration)
 
         self.save_model(params)
         if baseline_w is not None:
@@ -402,6 +399,10 @@ class VisionBaseline(Experiment):
         cfg = self.cfg
         train_ds, valid_ds, test_ds = tasks.get_dataset(
             cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
+        # Always set it — a previous trainer in this process may have left
+        # the module default on another lowering.
+        from exploring_meta_tpu.models.layers import set_conv_impl
+        set_conv_impl(cfg.conv_impl)
         spec = _build_spec(cfg, anil=False)
         key = jax.random.key(cfg.seed)
         key, ik = jax.random.split(key)
@@ -452,8 +453,7 @@ class VisionBaseline(Experiment):
                 if iteration % cfg.save_every == 0:
                     self.save_model_checkpoint(params, iteration)
         except (KeyboardInterrupt, DivergenceError) as stop:
-            self.mark_stopped(stop)
-            self.params["num_iterations"] = iteration
+            self.mark_stopped(stop, iteration)
 
         self.save_model(params)
         self.logger["elapsed_time"] = f"{round(t.format_dict['elapsed'], 2)} sec"

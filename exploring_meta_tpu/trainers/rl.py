@@ -193,14 +193,13 @@ class RLTrainer(Experiment):
                                                    rng_key=key,
                                                    async_write=cfg.async_ckpt)
         except (KeyboardInterrupt, DivergenceError) as stop:
-            self.mark_stopped(stop)
             if use_fused:
                 # the helper tracks completed-chunk progress on self; the
                 # local `iteration` is only set on normal return
                 iteration = self._fused_iteration
                 if self._fused_params is not None:
                     params = self._fused_params
-            self.params["num_iterations"] = iteration
+            self.mark_stopped(stop, iteration)
 
         self.flush_checkpoints()
         self.save_model(params)

@@ -49,9 +49,10 @@ class VisionTrainer(Experiment):
         train_ds, valid_ds, test_ds = tasks.get_dataset(
             cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
 
-        if cfg.conv_impl != "direct":
-            from exploring_meta_tpu.models.layers import set_conv_impl
-            set_conv_impl(cfg.conv_impl)
+        # Always set it — a previous trainer in this process may have left
+        # the module default on another lowering.
+        from exploring_meta_tpu.models.layers import set_conv_impl
+        set_conv_impl(cfg.conv_impl)
 
         spec = _build_spec(cfg, self.anil)
         key = jax.random.key(cfg.seed)
@@ -211,8 +212,7 @@ class VisionTrainer(Experiment):
                                                    rng_key=key,
                                                    async_write=cfg.async_ckpt)
         except (KeyboardInterrupt, DivergenceError) as stop:
-            self.mark_stopped(stop)
-            self.params["num_iterations"] = iteration
+            self.mark_stopped(stop, iteration)
 
         self.flush_checkpoints()
         self.save_model(params)

@@ -44,6 +44,12 @@ def enable_compile_cache(path: str | None = None, *,
         path = os.environ.get("EMT_COMPILE_CACHE", "")
         if path.strip().lower() in _OFF:
             return None
+    # EMT_FORCE_CPU must win before any backend decision here — callers
+    # (serve scripts, Experiment) may invoke this before their own
+    # platform forcing, and jax ignores platform changes after init.
+    from exploring_meta_tpu.utils.config import force_cpu_if_requested
+    force_cpu_if_requested()
+
     import jax
     if not path:
         # Default-on only for the accelerator backend. XLA:CPU cache
@@ -52,7 +58,11 @@ def enable_compile_cache(path: str | None = None, *,
         # service the compile machine differs from the execution host
         # (cpu_aot_loader warns about possible SIGILL when loading such
         # entries). An explicit --compile_cache path still opts in on CPU.
-        if jax.default_backend() == "cpu":
+        # The platform check reads config/env only — it must NOT call
+        # jax.default_backend(), which would initialize the backend (and
+        # with it the TPU tunnel) just to decide cache policy.
+        platforms = (jax.config.jax_platforms or "").lower()
+        if platforms.split(",")[0] == "cpu":
             return None
         path = os.path.join(os.path.expanduser("~"), ".cache",
                             "exploring_meta_tpu", "xla")

@@ -130,9 +130,19 @@ class Experiment:
                 f"{diverged[0]} = {diverged[1]} at logged step "
                 f"{len(self.metrics[diverged[0]]) - 1}")
 
-    def mark_stopped(self, exc: BaseException) -> None:
+    def mark_stopped(self, exc: BaseException,
+                     iteration: int | None = None) -> None:
         """Shared KeyboardInterrupt/DivergenceError bookkeeping for the
-        trainers' graceful-finish path."""
+        trainers' graceful-finish path. ``iteration`` truncates the
+        recorded ``num_iterations`` the way the reference does on
+        interrupt.
+
+        Fused-chunk note: inside a ``--fuse K`` chunk only chunk-boundary
+        state exists on the host, so on divergence the saved params are
+        the last finite chunk boundary and ``num_iterations`` rolls back
+        to it, while metrics.json keeps the per-iteration rows up to (and
+        including) the non-finite one — ``logger['diverged']`` names the
+        exact logged step for forensics."""
         if isinstance(exc, DivergenceError):
             print(f"\nTraining loss diverged ({exc}) — stopping, saving "
                   "state & evaluating...\n")
@@ -141,6 +151,8 @@ class Experiment:
             print("\nManually stopped training! Start evaluation & "
                   "saving...\n")
             self.logger["manually_stopped"] = True
+        if iteration is not None:
+            self.params["num_iterations"] = iteration
 
     def log_model(self, params, name: str = "model") -> None:
         """Architecture summary dump (reference's torchsummary analog)."""
@@ -154,8 +166,18 @@ class Experiment:
             f.write(info)
 
     def save_logs_to_file(self) -> None:
+        # Strict-JSON artifact contract: non-finite floats (a diverged
+        # run's recorded NaN/inf evidence) serialize as null — bare NaN
+        # tokens would make the whole file unreadable to standard parsers.
+        def finite(v):
+            if isinstance(v, float) and not np.isfinite(v):
+                return None
+            return v
+
+        clean = {k: [finite(v) for v in vs] if isinstance(vs, list) else vs
+                 for k, vs in self.metrics.items()}
         with open(os.path.join(self.model_path, "metrics.json"), "w") as f:
-            json.dump(self.metrics, f)
+            json.dump(clean, f)
         with open(os.path.join(self.model_path, "logger.json"), "w") as f:
             json.dump(self.logger, f, sort_keys=True, indent=4, default=str)
 

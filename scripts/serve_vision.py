@@ -43,14 +43,12 @@ def main():
     if args.checkpoint is None and not args.random_init:
         p.error("give a checkpoint or pass --random_init")
 
+    from exploring_meta_tpu.utils.config import force_cpu_if_requested
+    force_cpu_if_requested()  # must precede any backend-touching call
     from exploring_meta_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache(args.compile_cache)
 
     import jax
-    if os.environ.get("EMT_FORCE_CPU") == "1":
-        # Off-TPU smoke runs (same trick as parity_check.py: the backend
-        # is not initialized yet at script start).
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from exploring_meta_tpu import models
     from exploring_meta_tpu.serve import VisionServer

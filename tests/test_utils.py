@@ -258,4 +258,8 @@ class TestDivergenceWatchdog:
         assert "diverged" in tr.logger
         assert tr.params["num_iterations"] < 5  # truncated like an interrupt
         assert os.path.exists(os.path.join(tr.model_path, "model.npz"))
-        assert os.path.exists(os.path.join(tr.model_path, "metrics.json"))
+        mpath = os.path.join(tr.model_path, "metrics.json")
+        # strict-JSON contract: the recorded NaN evidence serializes as null
+        m = json.loads(open(mpath).read())
+        assert m["train_loss"][-1] is None
+        assert "nan" in tr.logger["diverged"]
