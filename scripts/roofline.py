@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""XLA cost-analysis roofline reporter for the headline programs.
+
+Makes BASELINE.md's roofline methodology a reproducible tool: compile the
+selected program, read XLA's ``cost_analysis()`` (FLOPs + bytes accessed),
+and report arithmetic intensity against the chip's ridge point. With
+``--time`` it also ground-truth-times the program on the current backend
+(host fetch inside the window — ``block_until_ready`` does not synchronize
+on this runtime) and reports achieved TFLOP/s / GB/s vs peak.
+
+Caveats (same as BASELINE.md):
+- "bytes accessed" counts fusion-served accesses, so achieved GB/s can
+  exceed DRAM peak when on-chip reuse is high;
+- a ``lax.scan``/``while_loop`` body is counted ONCE, not x trips — for
+  fused/TRPO programs divide by trip count before comparing to wall-clock
+  (the tool reports per-compiled-program numbers and, where the trip
+  count is static, per-iteration ones).
+
+Usage:
+    python scripts/roofline.py --config maml_omni [--bf16] [--conv_impl s2d]
+    python scripts/roofline.py --config anil_min --time
+    EMT_FORCE_CPU=1 python scripts/roofline.py --config maml_omni   # no chip
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# v5e peaks; override for other chips.
+PEAK_TFLOPS_BF16 = float(os.environ.get("EMT_PEAK_TFLOPS", 197.0))
+PEAK_HBM_GBS = float(os.environ.get("EMT_PEAK_HBM_GBS", 819.0))
+
+WAYS, SHOTS, ADAPT_STEPS = 5, 5, 1
+
+
+def build_vision(anil: bool, bf16: bool, meta_batch: int):
+    import jax
+    import optax
+    from exploring_meta_tpu import adapt, models, tasks
+    from exploring_meta_tpu.models.layers import set_precision
+
+    if bf16:
+        set_precision("default")
+    if anil:
+        ds, _, _ = tasks.load_mini_imagenet(seed=0, synthetic=True)
+        spec = models.anil_mini_imagenet_spec(ways=WAYS)
+    else:
+        ds, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                       synthetic_classes=1623)
+        spec = models.omniglot_spec(ways=WAYS)
+    params = models.init_cnn4(jax.random.key(0), spec)
+    fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.5,
+                                      adapt_steps=ADAPT_STEPS,
+                                      shots=SHOTS, ways=WAYS, anil=anil)
+    if bf16:
+        fa = adapt.cast_compute(fa)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    step = adapt.make_meta_step(fa, opt)
+    data, labels = tasks.sample_task_batch(jax.random.key(1), ds, WAYS,
+                                           SHOTS, meta_batch)
+    args = (params, opt_state, data, labels)
+    fetch = lambda out: float(out[2]["loss"])
+    return step, args, fetch, 1, meta_batch
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", choices=["maml_omni", "anil_min"],
+                   default="maml_omni")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--conv_impl", choices=["direct", "s2d"],
+                   default="direct")
+    p.add_argument("--meta_batch", type=int, default=32)
+    p.add_argument("--time", action="store_true",
+                   help="also ground-truth-time the program (10 steps)")
+    args = p.parse_args()
+
+    if os.environ.get("EMT_FORCE_CPU") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    from exploring_meta_tpu.models.layers import set_conv_impl
+    set_conv_impl(args.conv_impl)
+
+    step, call_args, fetch, iters_per_program, tasks_per_iter = build_vision(
+        anil=(args.config == "anil_min"), bf16=args.bf16,
+        meta_batch=args.meta_batch)
+
+    lowered = step.lower(*call_args)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", float("nan")))
+    byts = float(ca.get("bytes accessed", float("nan")))
+    intensity = flops / byts if byts else float("nan")
+    ridge = PEAK_TFLOPS_BF16 * 1e12 / (PEAK_HBM_GBS * 1e9)
+    print(f"config={args.config} bf16={args.bf16} conv_impl={args.conv_impl} "
+          f"meta_batch={args.meta_batch} backend={jax.default_backend()}")
+    print(f"per program:   {flops/1e9:.2f} GFLOP, {byts/1e9:.3f} GB accessed")
+    print(f"per iteration: {flops/1e9/iters_per_program:.2f} GFLOP, "
+          f"{byts/1e9/iters_per_program:.3f} GB "
+          f"({tasks_per_iter} tasks)")
+    print(f"arithmetic intensity: {intensity:.1f} FLOP/byte "
+          f"(MXU ridge ~{ridge:.0f} -> "
+          f"{'bandwidth' if intensity < ridge else 'compute'}-bound regime)")
+    bound_ms = max(flops / (PEAK_TFLOPS_BF16 * 1e12),
+                   byts / (PEAK_HBM_GBS * 1e9)) * 1e3
+    print(f"roofline bound: {bound_ms:.2f} ms/program at v5e peaks "
+          f"({PEAK_TFLOPS_BF16:.0f} TF/s bf16, {PEAK_HBM_GBS:.0f} GB/s)")
+
+    if args.time:
+        out = step(*call_args)
+        fetch(out)  # compile + settle
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step(*call_args)
+        fetch(out)  # ground-truth: host fetch depends on the last step
+        dt = (time.perf_counter() - t0) / n
+        print(f"measured: {dt*1e3:.2f} ms/program -> "
+              f"{flops/dt/1e12:.2f} TFLOP/s "
+              f"({100*flops/dt/1e12/PEAK_TFLOPS_BF16:.1f}% MXU peak), "
+              f"{byts/dt/1e9:.0f} GB/s logical "
+              f"({100*byts/dt/1e9/PEAK_HBM_GBS:.0f}% HBM peak), "
+              f"{tasks_per_iter*iters_per_program/dt:.0f} tasks/sec")
+
+
+if __name__ == "__main__":
+    main()
