@@ -354,6 +354,11 @@ def _measure_vision(anil: bool) -> float:
     # bandwidth-bound, so halving activation bytes is the big lever
     # (BASELINE.md roofline note).
     set_precision("default")
+    if os.environ.get("EMT_BENCH_S2D") == "1":
+        # A/B knob for the space-to-depth stride-2 conv lowering
+        # (--conv_impl s2d; exact math, see models/layers.py).
+        from exploring_meta_tpu.models.layers import set_conv_impl
+        set_conv_impl("s2d")
 
     if anil:
         train, _, _ = tasks.load_mini_imagenet(seed=0, synthetic=True)
