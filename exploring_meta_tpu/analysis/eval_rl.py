@@ -71,7 +71,8 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
                               workers=workers or cfg.adapt_batch_size,
                               seed=seed, test=(not test_on_train),
                               max_path_length=cfg.max_path_length)
-    policy = build_policy(env, anil, fc_neurons=config.get("fc_neurons", 100))
+    policy = build_policy(env, anil, fc_neurons=config.get("fc_neurons", 100),
+                          activation=config.get("activation", "relu"))
     template = policy.init(jax.random.key(0))
     params = load_params(_checkpoint_path(base_path, checkpoint), template)
 

@@ -41,7 +41,7 @@ def _setup_rl_baseline(cfg: RLScriptConfig):
     env, is_device = make_env(cfg.env, workers=cfg.adapt_batch_size,
                               seed=cfg.seed,
                               max_path_length=cfg.max_path_length)
-    policy = build_policy(env, anil=False)
+    policy = build_policy(env, anil=False, activation=cfg.activation)
     if is_device:
         roll = rl.make_rollout(env, policy.sample,
                                episodes=cfg.adapt_batch_size,

@@ -40,13 +40,22 @@ def make_device_env(name: str):
         f"{name!r} is not a device env — use envs.host for MuJoCo/Meta-World")
 
 
-def build_policy(env, anil: bool, fc_neurons: int = 100):
+def build_policy(env, anil: bool, fc_neurons: int = 100,
+                 activation: str = "relu"):
+    """``activation`` makes the reference's dead knob real: every
+    reference script carries ``params['activation']`` ("tanh for
+    MetaWorld, relu otherwise", e.g. ``rl/maml_trpo.py:32``) but never
+    passes it to ``DiagNormalPolicy(...)`` — the policies always ran
+    relu. Here ``--activation tanh`` actually takes effect (the ANIL
+    policy's body is tanh by construction, reference ``policies.py:79-85``,
+    so the knob applies to the plain DiagNormalPolicy only)."""
     if anil:
         return DiagNormalPolicyANIL(input_size=env.obs_size,
                                     output_size=env.action_size,
                                     fc_neurons=fc_neurons)
     return DiagNormalPolicy(input_size=env.obs_size,
-                            output_size=env.action_size)
+                            output_size=env.action_size,
+                            activation=activation)
 
 
 class RLTrainer(Experiment):
@@ -84,7 +93,8 @@ class RLTrainer(Experiment):
             cfg.env, workers=workers, seed=cfg.seed,
             max_path_length=cfg.max_path_length,
             n_threads=cfg.workers if cfg.workers > 1 else None)
-        policy = build_policy(env, self.anil, fc_neurons=cfg.fc_neurons)
+        policy = build_policy(env, self.anil, fc_neurons=cfg.fc_neurons,
+                              activation=cfg.activation)
         if getattr(cfg, "bf16", False):
             # Mixed precision: every policy application (rollout sampling,
             # inner/outer losses, surrogate/KL) runs its MLP in bf16 with

@@ -158,6 +158,9 @@ class RLScriptConfig:
     # extras
     n_eval_tasks: int = 10
     fc_neurons: int = 100        # ANIL policy head width (reference anil_trpo.py:23)
+    activation: str = "relu"     # DiagNormalPolicy activation; the
+                                 # reference's params['activation'] knob
+                                 # was dead (never passed), here it works
     workers: int = 1             # host physics thread-pool cap (reference
                                  # AsyncVectorEnv worker count)
     use_wandb: bool = False
@@ -211,6 +214,11 @@ def rl_argparser(defaults: RLScriptConfig,
     p.add_argument("--n_eval_tasks", type=int, default=defaults.n_eval_tasks)
     p.add_argument("--fc_neurons", type=int, default=defaults.fc_neurons,
                    help="ANIL policy head width")
+    p.add_argument("--activation", choices=["relu", "tanh"],
+                   default=defaults.activation,
+                   help="DiagNormalPolicy hidden activation (the "
+                        "reference's params knob, made functional; tanh "
+                        "was its stated Meta-World setting)")
     p.add_argument("--workers", type=int, default=defaults.workers,
                    help="host-env physics parallelism: caps the native "
                         "thread pool (episode slots are sized from the "
