@@ -1,0 +1,42 @@
+"""Roofline reporter (scripts/roofline.py): cost-analysis fields present
+and the conv-lowering/--bf16 knobs change the compiled program's costs."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                      "roofline.py")
+
+
+def _run(*flags):
+    env = dict(os.environ, EMT_FORCE_CPU="1")
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--meta_batch", "2", *flags],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def _gflop(text):
+    line = next(l for l in text.splitlines() if l.startswith("per program"))
+    return float(line.split()[2])
+
+
+@pytest.mark.slow
+def test_reports_costs_and_regime():
+    text = _run("--config", "maml_omni")
+    assert "GFLOP" in text and "GB accessed" in text
+    assert "arithmetic intensity" in text
+    assert "bandwidth-bound regime" in text  # CNN4 meta-step is memory-bound
+    assert "roofline bound" in text
+
+
+@pytest.mark.slow
+def test_knobs_change_compiled_costs():
+    base = _gflop(_run("--config", "maml_omni"))
+    s2d = _gflop(_run("--config", "maml_omni", "--conv_impl", "s2d"))
+    # s2d trades 16/9 the conv MACs for MXU-shaped reductions
+    assert s2d > base * 1.2
