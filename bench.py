@@ -556,6 +556,67 @@ def measure_serve_vision_sequential() -> float:
     return B / (_t.perf_counter() - t0)          # real serving loop would
 
 
+def _serve_rl_setup(n_tasks: int):
+    """PolicyServer + per-task support trajectories on Particles2D
+    (serving inputs; in production these arrive from the deployed
+    system's own env steps — scripts/serve_rl.py)."""
+    import jax
+    import jax.numpy as jnp
+    from exploring_meta_tpu import models, rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.serve import PolicyServer
+
+    episodes, horizon = 10, 50
+    env = Particles2D()
+    policy = models.DiagNormalPolicy(input_size=env.obs_size,
+                                     output_size=env.action_size)
+    params = policy.init(jax.random.key(0))
+    cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1,
+                      adapt_batch_size=episodes, max_path_length=horizon)
+    server = PolicyServer(policy, params, cfg, algo="vpg")
+    roll = rl.make_rollout(env, policy.sample, episodes=episodes,
+                           horizon=horizon)
+    keys = jax.random.split(jax.random.key(1), n_tasks)
+    task_arr = env.sample_tasks(jax.random.key(2), n_tasks)
+    supports = [roll(params, task_arr[i], keys[i]) for i in range(n_tasks)]
+    stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *supports)
+    return server, supports, stack
+
+
+def measure_serve_rl_batched() -> float:
+    """Meta-RL serving throughput (adaptation requests/sec): B=64 tasks
+    adapted from their support trajectories in ONE vmapped XLA program
+    (serve.py PolicyServer.adapt_batched)."""
+    import time as _t
+    import jax
+    B = 64
+    server, _, stack = _serve_rl_setup(B)
+    adapted = server.adapt_batched(stack)             # compile
+    float(jax.tree_util.tree_leaves(adapted)[0].sum())
+    reps, t0 = 5, _t.perf_counter()
+    for _ in range(reps):
+        adapted = server.adapt_batched(stack)
+    float(jax.tree_util.tree_leaves(adapted)[0].sum())  # ground-truth fetch
+    return B * reps / (_t.perf_counter() - t0)
+
+
+def measure_serve_rl_sequential() -> float:
+    """Baseline: one adaptation program per task with a per-request fetch
+    (the reference's execution model — cl_rl.py adapts one task at a
+    time)."""
+    import time as _t
+    import jax
+    B = 16
+    server, supports, _ = _serve_rl_setup(B)
+    a = server.adapt(supports[0])                     # compile
+    float(jax.tree_util.tree_leaves(a)[0].sum())
+    t0 = _t.perf_counter()
+    for s in supports:
+        a = server.adapt(s)
+        float(jax.tree_util.tree_leaves(a)[0].sum())
+    return B / (_t.perf_counter() - t0)
+
+
 def _measure_host_collect(task_batched: bool,
                           policy_device: str = "device") -> float:
     """Full meta-batch collection pass on MuJoCo Ant (support rollouts +
@@ -681,6 +742,12 @@ CONFIGS = {
         "unit": "requests/sec",
         "measure": measure_serve_vision_batched,
         "baseline": measure_serve_vision_sequential,
+    },
+    "serve_rl": {
+        "metric": "meta_rl_policy_adaptation_serving",
+        "unit": "requests/sec",
+        "measure": measure_serve_rl_batched,
+        "baseline": measure_serve_rl_sequential,
     },
 }
 
