@@ -342,6 +342,19 @@ def measure_torch_cpu_trpo_baseline() -> float:
 # ---------------------------------------------------------------------------
 
 def _measure_vision(anil: bool) -> float:
+    from exploring_meta_tpu.models.layers import set_conv_impl
+    # A/B knob for the space-to-depth stride-2 conv lowering (--conv_impl
+    # s2d; exact math, see models/layers.py). Always set BOTH ways so the
+    # knob can't leak into later configs of a --all run.
+    set_conv_impl("s2d" if os.environ.get("EMT_BENCH_S2D") == "1"
+                  else "direct")
+    try:
+        return _measure_vision_inner(anil)
+    finally:
+        set_conv_impl("direct")
+
+
+def _measure_vision_inner(anil: bool) -> float:
     import jax
     import optax
     from exploring_meta_tpu import adapt, models, tasks
@@ -354,11 +367,7 @@ def _measure_vision(anil: bool) -> float:
     # bandwidth-bound, so halving activation bytes is the big lever
     # (BASELINE.md roofline note).
     set_precision("default")
-    if os.environ.get("EMT_BENCH_S2D") == "1":
-        # A/B knob for the space-to-depth stride-2 conv lowering
-        # (--conv_impl s2d; exact math, see models/layers.py).
-        from exploring_meta_tpu.models.layers import set_conv_impl
-        set_conv_impl("s2d")
+
 
     if anil:
         train, _, _ = tasks.load_mini_imagenet(seed=0, synthetic=True)

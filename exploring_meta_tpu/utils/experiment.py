@@ -167,19 +167,23 @@ class Experiment:
 
     def save_logs_to_file(self) -> None:
         # Strict-JSON artifact contract: non-finite floats (a diverged
-        # run's recorded NaN/inf evidence) serialize as null — bare NaN
-        # tokens would make the whole file unreadable to standard parsers.
+        # run's recorded NaN/inf evidence — metric rows, final_eval
+        # rewards, test metrics) serialize as null — bare NaN tokens
+        # would make the whole file unreadable to standard parsers.
         def finite(v):
             if isinstance(v, float) and not np.isfinite(v):
                 return None
+            if isinstance(v, dict):
+                return {k: finite(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [finite(x) for x in v]
             return v
 
-        clean = {k: [finite(v) for v in vs] if isinstance(vs, list) else vs
-                 for k, vs in self.metrics.items()}
         with open(os.path.join(self.model_path, "metrics.json"), "w") as f:
-            json.dump(clean, f)
+            json.dump(finite(self.metrics), f)
         with open(os.path.join(self.model_path, "logger.json"), "w") as f:
-            json.dump(self.logger, f, sort_keys=True, indent=4, default=str)
+            json.dump(finite(self.logger), f, sort_keys=True, indent=4,
+                      default=str)
 
     # -- checkpoints ---------------------------------------------------------
 

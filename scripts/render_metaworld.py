@@ -38,7 +38,9 @@ def main():
         raise SystemExit("rendering targets host physics envs "
                          "(AntDirection / Meta-World)")
 
-    policy = build_policy(env, config["algo"].startswith("anil"))
+    policy = build_policy(env, config["algo"].startswith("anil"),
+                          fc_neurons=config.get("fc_neurons", 100),
+                          activation=config.get("activation", "relu"))
     params = load_params(os.path.join(args.path, "model.npz"),
                          policy.init(jax.random.key(0)))
 

@@ -79,9 +79,8 @@ def main():
                    help="also ground-truth-time the program (10 steps)")
     args = p.parse_args()
 
-    if os.environ.get("EMT_FORCE_CPU") == "1":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    from exploring_meta_tpu.utils.config import force_cpu_if_requested
+    force_cpu_if_requested()
     import jax
     from exploring_meta_tpu.models.layers import set_conv_impl
     set_conv_impl(args.conv_impl)

@@ -26,6 +26,9 @@ def main():
                    help="serve a fresh init (throughput demo without a run)")
     p.add_argument("--algo", choices=["vpg", "ppo", "trpo"], default="vpg",
                    help="inner-update rule used for adaptation")
+    p.add_argument("--activation", choices=["relu", "tanh"], default="relu",
+                   help="DiagNormalPolicy hidden activation (must match the "
+                        "checkpoint's training config)")
     p.add_argument("--anil", action="store_true",
                    help="ANIL policy (body frozen during adaptation)")
     p.add_argument("--fc_neurons", type=int, default=100,
@@ -65,7 +68,8 @@ def main():
             fc_neurons=args.fc_neurons)
     else:
         policy = models.DiagNormalPolicy(
-            input_size=env.obs_size, output_size=env.action_size)
+            input_size=env.obs_size, output_size=env.action_size,
+            activation=args.activation)
     if args.random_init:
         params = policy.init(jax.random.key(0))
     else:

@@ -73,6 +73,8 @@ def main():
                    help="where the summary + plot land")
     args = p.parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+    if not seeds:
+        raise SystemExit(f"--seeds {args.seeds!r}: no seeds given")
     trainer_fields = {k: v for k, v in vars(args).items()
                       if k not in ("seeds", "metric", "sweep_dir")}
     base_cfg = cfg_cls(**trainer_fields)
@@ -99,19 +101,23 @@ def main():
                "runs": runs, "mean": mean, "std": std,
                "config": base_cfg.to_params()}
 
+    # Write the aggregate FIRST — the training results must survive any
+    # plotting failure (they cost N full runs to produce).
+    out = os.path.join(args.sweep_dir, f"{tag}.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+
     from exploring_meta_tpu.utils import plotter
     try:
         band = plotter.plot_runs_with_confidence(
             [r["run_dir"] for r in runs], metric=args.metric,
             save_path=os.path.join(args.sweep_dir, f"{tag}.png"))
         summary["band_metric"] = args.metric
-        summary["band_final_mean"] = band["mean"][-1]
-    except KeyError:
-        print(f"(metric {args.metric!r} not in metrics.json — no band plot)")
-
-    out = os.path.join(args.sweep_dir, f"{tag}.json")
-    with open(out, "w") as f:
-        json.dump(summary, f, indent=2)
+        summary["band_final_mean"] = band["mean"][-1] if band["mean"] else None
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=2)
+    except Exception as e:  # plot is best-effort; the json already landed
+        print(f"(no band plot for metric {args.metric!r}: {e})")
     print(f"{algo}: {final_key} mean {mean:.4f} +- {std:.4f} over "
           f"{n} seeds -> {out}")
 

@@ -263,3 +263,9 @@ class TestDivergenceWatchdog:
         m = json.loads(open(mpath).read())
         assert m["train_loss"][-1] is None
         assert "nan" in tr.logger["diverged"]
+        # logger.json is strict JSON too (nested non-finite -> null)
+        tr.logger["final_eval"] = {"mean_reward": float("nan")}
+        tr.save_logs_to_file()
+        lg = json.loads(open(os.path.join(tr.model_path,
+                                          "logger.json")).read())
+        assert lg["final_eval"]["mean_reward"] is None
