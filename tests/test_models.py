@@ -345,6 +345,7 @@ class TestS2DConv:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow
     def test_meta_gradients_exact(self):
         from exploring_meta_tpu import adapt
         spec = models.omniglot_spec(ways=5)

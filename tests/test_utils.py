@@ -235,6 +235,7 @@ class TestDivergenceWatchdog:
         exp2 = self._exp(tmp_path, monkeypatch, nan_guard=False)
         exp2.log_metrics({"train_loss": float("nan")})  # no raise
 
+    @pytest.mark.slow
     def test_trainer_finishes_gracefully(self, tmp_path, monkeypatch):
         """A NaN-poisoned vision run stops at the first logged iteration,
         marks the logger, and still saves model + metrics + test eval."""
