@@ -27,6 +27,22 @@ from exploring_meta_tpu.utils.config import RLScriptConfig, VisionConfig
 from exploring_meta_tpu.utils.experiment import DivergenceError, Experiment
 
 
+_UNSUPPORTED = ("bf16", "mesh", "fuse", "resume", "profile", "trace",
+                "async_ckpt", "task_batch", "host_policy", "ckpt_backend")
+
+
+def _warn_unsupported(cfg) -> None:
+    """The baseline trainers keep the reference's simple training loops
+    (baselines/*.py) and do not implement the meta-trainers' TPU extras;
+    say so instead of silently ignoring an advertised flag."""
+    defaults = type(cfg)()
+    ignored = [f for f in _UNSUPPORTED
+               if getattr(cfg, f, None) != getattr(defaults, f, None)]
+    if ignored:
+        print(f"[baselines] note: not supported by the baseline trainers, "
+              f"ignored: {', '.join(ignored)}")
+
+
 # ---------------------------------------------------------------------------
 # RL baselines
 # ---------------------------------------------------------------------------
@@ -38,6 +54,7 @@ def _setup_rl_baseline(cfg: RLScriptConfig):
     Meta-World included (``baselines/ppo.py:42-48``) — so this routes
     device envs to the fused scan rollout and host envs (MuJoCo /
     Meta-World) to the eager HostVecEnv path."""
+    _warn_unsupported(cfg)
     env, is_device = make_env(cfg.env, workers=cfg.adapt_batch_size,
                               seed=cfg.seed,
                               max_path_length=cfg.max_path_length)
@@ -397,6 +414,7 @@ class VisionBaseline(Experiment):
 
     def run(self) -> float:
         cfg = self.cfg
+        _warn_unsupported(cfg)
         train_ds, valid_ds, test_ds = tasks.get_dataset(
             cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
         # Always set it — a previous trainer in this process may have left
