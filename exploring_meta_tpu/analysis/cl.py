@@ -213,7 +213,9 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
         qm = _batched_query_metrics()
         traj_metrics = lambda q: (lambda m: (m["reward"], m["success"]))(
             qm(q))
-        inner = _batched_inner(algo, policy, cfg)
+        # ppo_epochs=1: the reference's analysis-side inner update is a
+        # SINGLE clipped update (single_ppo_update, rl.py:319-336)
+        inner = _batched_inner(algo, policy, cfg, ppo_epochs=1)
 
         # All n adaptations in lockstep, progress recorded per step.
         cur = broadcast_params(params, n_tasks)

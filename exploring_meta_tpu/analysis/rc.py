@@ -207,7 +207,9 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
             _batched_inner, broadcast_params,
         )
         grouped = grouped_roll_factory(n_tasks)
-        inner = _batched_inner(algo, policy, cfg)
+        # ppo_epochs=1: the reference's analysis-side inner update is a
+        # SINGLE clipped update (single_ppo_update, rl.py:319-336)
+        inner = _batched_inner(algo, policy, cfg, ppo_epochs=1)
         task_at = lambda tree, i: jax.tree_util.tree_map(
             lambda x: x[i], tree)
 

@@ -12,25 +12,39 @@ import jax
 import jax.numpy as jnp
 
 
-def a2c_policy_loss(log_probs: jnp.ndarray, advantages: jnp.ndarray) -> jnp.ndarray:
-    """``-(log pi(a|s) * A).mean()`` — cherry ``a2c.policy_loss``."""
-    return -jnp.mean(log_probs * advantages)
+def _loss_mean(x: jnp.ndarray, valid) -> jnp.ndarray:
+    """Plain mean (cherry semantics) or valid-weighted mean over the
+    fixed-shape [T, E] trajectory layout (deviations registry D7)."""
+    if valid is None:
+        return jnp.mean(x)
+    v = jnp.broadcast_to(valid, x.shape)
+    return jnp.sum(x * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def a2c_policy_loss(log_probs: jnp.ndarray, advantages: jnp.ndarray,
+                    valid=None) -> jnp.ndarray:
+    """``-(log pi(a|s) * A).mean()`` — cherry ``a2c.policy_loss``;
+    ``valid`` masks padded steps (rl/ callers)."""
+    return -_loss_mean(log_probs * advantages, valid)
 
 
 def ppo_policy_loss(new_log_probs: jnp.ndarray, old_log_probs: jnp.ndarray,
-                    advantages: jnp.ndarray, clip: float = 0.1) -> jnp.ndarray:
-    """Clipped importance-ratio surrogate — cherry ``ppo.policy_loss``."""
+                    advantages: jnp.ndarray, clip: float = 0.1,
+                    valid=None) -> jnp.ndarray:
+    """Clipped importance-ratio surrogate — cherry ``ppo.policy_loss``;
+    ``valid`` masks padded steps (rl/ callers)."""
     ratio = jnp.exp(new_log_probs - old_log_probs)
     obj = ratio * advantages
     obj_clip = jnp.clip(ratio, 1.0 - clip, 1.0 + clip) * advantages
-    return -jnp.mean(jnp.minimum(obj, obj_clip))
+    return -_loss_mean(jnp.minimum(obj, obj_clip), valid)
 
 
 def trpo_policy_loss(new_log_probs: jnp.ndarray, old_log_probs: jnp.ndarray,
-                     advantages: jnp.ndarray) -> jnp.ndarray:
-    """Unclipped importance-ratio surrogate — cherry ``trpo.policy_loss``."""
+                     advantages: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """Unclipped importance-ratio surrogate — cherry ``trpo.policy_loss``;
+    ``valid`` masks padded steps (rl/ callers)."""
     ratio = jnp.exp(new_log_probs - old_log_probs)
-    return -jnp.mean(ratio * advantages)
+    return -_loss_mean(ratio * advantages, valid)
 
 
 def magic_box(x: jnp.ndarray) -> jnp.ndarray:

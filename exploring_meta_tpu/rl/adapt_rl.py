@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 from exploring_meta_tpu.models.policies import DiagNormalPolicyANIL
 from exploring_meta_tpu.ops.gae import compute_advantages, discount
-from exploring_meta_tpu.ops.losses import magic_box, weighted_cumsum
+from exploring_meta_tpu.ops.losses import (
+    a2c_policy_loss, magic_box, ppo_policy_loss, weighted_cumsum,
+)
 from exploring_meta_tpu.ops.value import fit_linear_value, linear_value
 from exploring_meta_tpu.rl.rollout import Trajectory
 
@@ -170,7 +172,7 @@ def vpg_a2c_loss(policy, params, traj: Trajectory, cfg: RLConfig,
         weights = weights / jnp.maximum(jnp.sum(dones), 1.0)
         lp = magic_box(weighted_cumsum(lp, weights))
         log_probs = lp.reshape(T * E, 1)
-    return -masked_mean(log_probs * adv, valid)
+    return a2c_policy_loss(log_probs, adv, valid=valid)
 
 
 def fast_adapt_vpg(policy, params, rollout_fn: Callable, task, key,
@@ -203,12 +205,9 @@ def _query_metrics(query: Trajectory):
 def _ppo_clip_loss(policy, params, traj, adv_flat, old_log_probs, cfg,
                    inner_anil: bool):
     new_lp = _log_prob(policy, params, traj, inner_anil)
-    ratio = jnp.exp(new_lp - old_log_probs)
-    obj = ratio * adv_flat
-    clipped = jnp.clip(ratio, 1 - cfg.ppo_clip_ratio,
-                       1 + cfg.ppo_clip_ratio) * adv_flat
     valid = traj.flat(traj.valid)[:, None]
-    return -masked_mean(jnp.minimum(obj, clipped), valid)
+    return ppo_policy_loss(new_lp, old_log_probs, adv_flat,
+                           clip=cfg.ppo_clip_ratio, valid=valid)
 
 
 def fast_adapt_ppo(policy, params, rollout_fn: Callable, task, key,
@@ -259,15 +258,23 @@ def trpo_a2c_loss(policy, params, traj: Trajectory, cfg: RLConfig,
     valid = traj.flat(traj.valid)[:, None]
     adv = jax.lax.stop_gradient(
         masked_normalize(traj.flat(adv), traj.flat(traj.valid)))[:, None]
-    return -masked_mean(log_probs * adv, valid)
+    return a2c_policy_loss(log_probs, adv, valid=valid)
 
 
 def single_adapt_step(algo: str, policy, params, support: Trajectory,
-                      cfg: RLConfig):
+                      cfg: RLConfig, ppo_epochs: int = 1):
     """One inner adaptation step on an already-collected support
     trajectory, switched per algorithm — the reference's analysis-side
     inner updates (cl_rl.py:70-87, rc_rl.py:140-152: vpg ``adapt`` /
-    ``single_ppo_update`` / ``trpo_update``), first-order."""
+    ``single_ppo_update`` / ``trpo_update``), first-order.
+
+    ``ppo_epochs``: clipped updates per call for ``algo="ppo"``. The
+    reference is asymmetric here — its analysis-side ``single_ppo_update``
+    performs exactly ONE clipped update (rl.py:319-336), while its
+    training/eval ``fast_adapt_ppo`` runs ``params['ppo_epochs']`` of them
+    per adapt step (rl.py:264-316). Default 1 = the analysis semantics;
+    the batched collection/eval paths pass ``cfg.ppo_epochs`` to mirror
+    ``fast_adapt_ppo`` (host_batched.py)."""
     if algo == "trpo":
         return trpo_update(policy, params, support, cfg, first_order=True)
     if algo == "vpg":
@@ -281,7 +288,7 @@ def single_adapt_step(algo: str, policy, params, support: Trajectory,
             support.flat(adv), support.flat(support.valid)))[:, None]
         old_lp = jax.lax.stop_gradient(
             _log_prob(policy, params, support, cfg.anil))
-        for _ in range(cfg.ppo_epochs):
+        for _ in range(ppo_epochs):
             loss_fn = lambda p: _ppo_clip_loss(policy, p, support, adv_flat,
                                                old_lp, cfg, cfg.anil)
             params = _inner_update(policy, params, loss_fn,
@@ -291,13 +298,18 @@ def single_adapt_step(algo: str, policy, params, support: Trajectory,
 
 
 def trpo_update(policy, params, traj: Trajectory, cfg: RLConfig,
-                first_order: bool | None = None):
+                first_order: bool | None = None, baseline_w=None):
     """One TRPO-style inner MAML step (reference ``trpo_update``
-    rl.py:361-374)."""
+    rl.py:361-374). A pre-fitted ``baseline_w`` (from
+    ``traj_advantages(traj, cfg)``) skips the redundant in-loss ridge
+    fit — numerically identical, the fit is deterministic on (traj, cfg)
+    and outside the gradient either way."""
     step_cfg = cfg if first_order is None else cfg._replace(
         first_order=first_order)
     loss_fn = lambda p: trpo_a2c_loss(policy, p, traj, step_cfg,
-                                      inner_anil=step_cfg.anil)
+                                      inner_anil=step_cfg.anil,
+                                      update_vf=baseline_w is None,
+                                      baseline_w=baseline_w)
     return _inner_update(policy, params, loss_fn, step_cfg)
 
 
@@ -313,10 +325,12 @@ def fast_adapt_trpo(policy, params, rollout_fn: Callable, task, key,
         key, k = jax.random.split(key)
         support = rollout_fn(params, task, k)
         replay.append(support)
-        params = trpo_update(policy, params, support, cfg, first_order=True)
-        # capture the support-fitted value baseline: the reference's query
-        # loss reuses it (update_vf=False with its shared LinearValue)
+        # fit the value baseline ONCE per support batch: the inner update
+        # uses it, and the reference's query loss reuses the last fit
+        # (update_vf=False with its shared LinearValue)
         _, baseline_w = traj_advantages(support, cfg)
+        params = trpo_update(policy, params, support, cfg, first_order=True,
+                             baseline_w=baseline_w)
 
     key, k = jax.random.split(key)
     query = rollout_fn(params, task, k)

@@ -132,7 +132,12 @@ def evaluate(algo: str, policy, params, env, rollout_fn: Callable,
 
     keys = jax.random.split(key, n_tasks)
     if device_env:
-        rewards, successes = jax.vmap(eval_one)(tasks, keys)
+        # jit the whole vmapped evaluation: standalone (un-jitted) scans
+        # execute pathologically slowly on this runtime (CLAUDE.md), and
+        # the rollout scans inside fast_adapt_* would otherwise run eager.
+        # One compile per evaluate() call — callers construct a fresh env/
+        # rollout per meta_test, so there is no reusable cache key.
+        rewards, successes = jax.jit(jax.vmap(eval_one))(tasks, keys)
     elif task_batch:
         # Adapt all tasks in lockstep (adapt-only: evaluation does not
         # need fast_adapt's internal query loss), then one batched
@@ -192,7 +197,12 @@ def meta_test(algo: str, env_name: str, policy, params, cfg: RLConfig,
     from exploring_meta_tpu.envs.factory import make_env
     from exploring_meta_tpu.rl.rollout import make_rollout
 
-    env, is_device = make_env(env_name, workers=workers or cfg.adapt_batch_size,
+    # Under task_batch the named env only serves sample_tasks — all
+    # rollouts go through the grouped factory's own big vec env — so
+    # don't spawn adapt_batch_size physics instances just for that.
+    env, is_device = make_env(env_name,
+                              workers=(1 if task_batch
+                                       else workers or cfg.adapt_batch_size),
                               seed=seed, test=(not test_on_train),
                               max_path_length=cfg.max_path_length)
     grouped_roll_factory = None

@@ -42,9 +42,15 @@ def broadcast_params(params, n_tasks: int):
 # compile cache; remote XLA compiles cost seconds to minutes here).
 
 @functools.lru_cache(maxsize=64)
-def _batched_inner(algo: str, policy, cfg: RLConfig):
+def _batched_inner(algo: str, policy, cfg: RLConfig,
+                   ppo_epochs: int | None = None):
+    """``ppo_epochs=None`` -> ``cfg.ppo_epochs`` (the fast_adapt_ppo
+    training/eval semantics); analysis callers that rebuild the
+    reference's analysis-side single_ppo_update pass 1."""
+    epochs = cfg.ppo_epochs if ppo_epochs is None else ppo_epochs
     return jax.jit(jax.vmap(
-        lambda p, t: single_adapt_step(algo, policy, p, t, cfg)))
+        lambda p, t: single_adapt_step(algo, policy, p, t, cfg,
+                                       ppo_epochs=epochs)))
 
 
 @functools.lru_cache(maxsize=1)
@@ -70,8 +76,9 @@ def adapt_task_batched(algo: str, policy, params, grouped_roll: Callable,
         support = grouped_roll(cur, tasks, k)
         replay.append(support)
         cur = inner(cur, support)
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=1),
-                                     *replay)
+    # adapt_steps=0 (zero-shot evaluation): nothing was collected
+    stacked = (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=1),
+                                      *replay) if replay else None)
     return cur, stacked, key
 
 

@@ -30,6 +30,7 @@ from jax.flatten_util import ravel_pytree
 
 from exploring_meta_tpu.models.distributions import normal_kl
 from exploring_meta_tpu.ops.cg import conjugate_gradient
+from exploring_meta_tpu.ops.losses import trpo_policy_loss
 from exploring_meta_tpu.rl.adapt_rl import (
     RLConfig, masked_mean, masked_normalize, traj_advantages, trpo_update,
 )
@@ -95,7 +96,7 @@ def meta_surrogate_loss(policy, params, old_params_stack, replays,
                      axis=-1, keepdims=True))
         new_lp = jnp.mean(normal_log_prob(new_loc, new_scale, actions),
                           axis=-1, keepdims=True)
-        surrogate = -masked_mean(jnp.exp(new_lp - old_lp) * adv, valid)
+        surrogate = trpo_policy_loss(new_lp, old_lp, adv, valid=valid)
         return surrogate, kl
 
     losses, kls = jax.vmap(per_task)(old_params_stack, replays)

@@ -464,3 +464,75 @@ class TestRLResume:
         np.testing.assert_allclose(res.metrics["meta_loss"][0],
                                    full.metrics["meta_loss"][3],
                                    rtol=1e-5)
+
+
+class TestSingleAdaptStepSemantics:
+    """The reference is asymmetric about PPO inner updates: the
+    analysis-side single_ppo_update is ONE clipped update (rl.py:319-336)
+    while training/eval fast_adapt_ppo runs ppo_epochs of them
+    (rl.py:264-316). single_adapt_step mirrors that via its ppo_epochs
+    parameter (default 1 = analysis semantics)."""
+
+    def _setup(self):
+        env = Particles2D()
+        policy = DiagNormalPolicy(input_size=env.obs_size,
+                                  output_size=env.action_size)
+        params = policy.init(jax.random.key(0))
+        cfg = rl.RLConfig(adapt_batch_size=4, max_path_length=10,
+                          ppo_epochs=3)
+        roll = rl.make_rollout(env, policy.sample, episodes=4, horizon=10)
+        task = env.sample_tasks(jax.random.key(1), 1)[0]
+        support = roll(params, task, jax.random.key(2))
+        return policy, params, cfg, support
+
+    def test_ppo_default_is_one_update(self):
+        policy, params, cfg, support = self._setup()
+        one = rl.single_adapt_step("ppo", policy, params, support, cfg)
+        explicit = rl.single_adapt_step("ppo", policy, params, support,
+                                        cfg, ppo_epochs=1)
+        for a, b in zip(jax.tree_util.tree_leaves(one),
+                        jax.tree_util.tree_leaves(explicit)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ppo_epochs_changes_result(self):
+        policy, params, cfg, support = self._setup()
+        one = rl.single_adapt_step("ppo", policy, params, support, cfg)
+        three = rl.single_adapt_step("ppo", policy, params, support, cfg,
+                                     ppo_epochs=cfg.ppo_epochs)
+        diffs = [float(jnp.max(jnp.abs(a - b)))
+                 for a, b in zip(jax.tree_util.tree_leaves(one),
+                                 jax.tree_util.tree_leaves(three))]
+        assert max(diffs) > 0
+
+    def test_batched_collection_matches_fast_adapt_primal(self):
+        """collect/eval lockstep paths keep the ppo_epochs semantics that
+        the replay rederive (fast_adapt_ppo) assumes."""
+        from exploring_meta_tpu.rl.host_batched import _batched_inner
+        policy, params, cfg, support = self._setup()
+        inner = _batched_inner("ppo", policy, cfg)   # default: cfg.ppo_epochs
+        stack = jax.tree_util.tree_map(lambda x: x[None], support)
+        pstack = jax.tree_util.tree_map(lambda x: x[None], params)
+        batched = inner(pstack, stack)
+        manual = rl.single_adapt_step("ppo", policy, params, support, cfg,
+                                      ppo_epochs=cfg.ppo_epochs)
+        for a, b in zip(jax.tree_util.tree_leaves(batched),
+                        jax.tree_util.tree_leaves(manual)):
+            np.testing.assert_allclose(np.asarray(a)[0], np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_adapt_task_batched_zero_steps(self):
+        """adapt_steps=0 (zero-shot eval) must not crash; no replay."""
+        from exploring_meta_tpu.rl.host_batched import adapt_task_batched
+        policy, params, cfg, _ = self._setup()
+        cfg0 = cfg._replace(adapt_steps=0)
+        env = Particles2D()
+        roll = rl.make_rollout(env, policy.sample, episodes=4, horizon=10)
+        grouped = jax.vmap(lambda p, t, k: roll(p, t, k),
+                           in_axes=(0, 0, None))
+        tasks = env.sample_tasks(jax.random.key(3), 2)
+        adapted, stacked, _ = adapt_task_batched(
+            "ppo", policy, params, grouped, list(tasks), jax.random.key(4),
+            cfg0)
+        assert stacked is None
+        for a in jax.tree_util.tree_leaves(adapted):
+            assert a.shape[0] == 2
