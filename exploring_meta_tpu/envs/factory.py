@@ -35,15 +35,23 @@ def make_env(name: str, workers: int = 1, seed: int = 42,
     if name.startswith("ML"):
         import itertools
         from exploring_meta_tpu.envs.host import HostVecEnv
-        from exploring_meta_tpu.envs.metaworld_adapter import MetaWorldEnv
+        from exploring_meta_tpu.envs.metaworld_adapter import (
+            MetaWorldEnv, make_benchmark,
+        )
         if name.startswith("ML1_"):
             bench, task_name = "ML1", name[4:]
         else:
             bench, task_name = name, None
+        # ONE benchmark for all slots: construction parses every class's
+        # task pickles (minutes for ML45 x workers); slots differ only in
+        # their reset-noise RNG stream (seed + slot), exactly as before —
+        # sample_tasks reads slot 0, whose seed is unchanged.
+        shared = make_benchmark(bench, task_name, seed=seed)
         ctr = itertools.count()
         return HostVecEnv(
             lambda: MetaWorldEnv(bench, task_name, seed=seed + next(ctr),
-                                 test=test, max_path_length=max_path_length),
+                                 test=test, max_path_length=max_path_length,
+                                 benchmark=shared),
             workers, backend=backend, n_threads=n_threads), False
 
     raise ValueError(f"unknown environment {name!r}")

@@ -143,6 +143,10 @@ class HostVecEnv:
         self.obs_size = e.obs_size
         self.action_size = e.action_size
         self._pool = None
+        if backend not in ("auto", "native", "python"):
+            # typos must not silently fall back (same rule as _place_policy)
+            raise ValueError(f"unknown backend {backend!r}; "
+                             "one of 'auto' | 'native' | 'python'")
         if backend in ("auto", "native"):
             try:
                 from exploring_meta_tpu.native.binding import PythonEnvPool
@@ -150,8 +154,10 @@ class HostVecEnv:
             except Exception as exc:
                 if backend == "native":
                     raise
+                import sys
                 print(f"native env pool unavailable ({exc}); "
-                      "falling back to sequential stepping")
+                      "falling back to sequential stepping",
+                      file=sys.stderr)
         self.backend = "native" if self._pool is not None else "python"
 
     def sample_tasks(self, key, n: int):

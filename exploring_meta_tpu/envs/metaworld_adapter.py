@@ -27,21 +27,32 @@ def _require_metaworld():
             "Particles2D-v1 / AntDirection-v1.") from e
 
 
+def make_benchmark(benchmark_name: str, task_name: str | None = None,
+                   seed: int = 42):
+    """Construct a metaworld benchmark object (shareable across env
+    slots via ``MetaWorldEnv(benchmark=...)``)."""
+    metaworld = _require_metaworld()
+    if benchmark_name == "ML1":
+        return metaworld.ML1(task_name, seed=seed)
+    if benchmark_name == "ML10":
+        return metaworld.ML10(seed=seed)
+    if benchmark_name == "ML45":
+        return metaworld.ML45(seed=seed)
+    raise ValueError(f"unknown Meta-World benchmark {benchmark_name}")
+
+
 class MetaWorldEnv:
     """One Meta-World benchmark env with the framework's task API."""
 
     def __init__(self, benchmark_name: str, task_name: str | None = None,
                  seed: int = 42, test: bool = False,
-                 max_path_length: int = 150):
-        metaworld = _require_metaworld()
-        if benchmark_name == "ML1":
-            self._bench = metaworld.ML1(task_name, seed=seed)
-        elif benchmark_name == "ML10":
-            self._bench = metaworld.ML10(seed=seed)
-        elif benchmark_name == "ML45":
-            self._bench = metaworld.ML45(seed=seed)
-        else:
-            raise ValueError(f"unknown Meta-World benchmark {benchmark_name}")
+                 max_path_length: int = 150, benchmark=None):
+        """``benchmark``: a pre-built metaworld benchmark to share across
+        env slots (benchmark construction parses every class's task
+        pickles — minutes for ML45 — and the factory's vec envs only
+        differ per slot in their reset-noise RNG, not the task pool)."""
+        self._bench = (benchmark if benchmark is not None
+                       else make_benchmark(benchmark_name, task_name, seed))
 
         classes = (self._bench.test_classes if test
                    else self._bench.train_classes)
@@ -56,8 +67,18 @@ class MetaWorldEnv:
         self._steps = 0
 
         first = classes[self._class_names[0]]()
+        # keep the probe env: set_task reuses it for its class instead of
+        # re-parsing the same MuJoCo model (seeding happens there, so the
+        # RNG draw order is unchanged)
+        self._probe = first
         self.obs_size = int(np.prod(first.observation_space.shape))
         self.action_size = int(np.prod(first.action_space.shape))
+        # ActionSpaceScaler parity (reference utils/env_maker.py:39): the
+        # raw Gaussian sample is stored for log-probs, but the physics
+        # sees an action clamped to the space bounds (same contract as
+        # envs/host.py AntDirectionEnv).
+        self._act_low = np.asarray(first.action_space.low, np.float64)
+        self._act_high = np.asarray(first.action_space.high, np.float64)
 
     # -- task API -----------------------------------------------------------
 
@@ -79,7 +100,10 @@ class MetaWorldEnv:
             # and seed its np_random from the adapter's stream so reset
             # noise is reproducible — a fresh env per set_task call would
             # draw initial states from OS entropy.
-            env = self._classes[name]()
+            if name == self._class_names[0] and self._probe is not None:
+                env, self._probe = self._probe, None
+            else:
+                env = self._classes[name]()
             env.reset(seed=int(self._rng.integers(0, 2**31 - 1)))
             self._env_cache[name] = env
         self._env = self._env_cache[name]
@@ -94,8 +118,8 @@ class MetaWorldEnv:
         return np.asarray(obs, np.float32)
 
     def step(self, action):
-        obs, reward, terminated, truncated, info = self._env.step(
-            np.asarray(action))
+        action = np.clip(np.asarray(action), self._act_low, self._act_high)
+        obs, reward, terminated, truncated, info = self._env.step(action)
         self._steps += 1
         done = bool(terminated) or self._steps >= self.max_path_length
         success = float(info.get("success", 0.0))

@@ -12,6 +12,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import sys
 
 import numpy as np
 
@@ -39,13 +40,22 @@ def load_vecenv_library() -> ctypes.CDLL | None:
     if path in _LIB_CACHE:
         return _LIB_CACHE[path]
     if not os.path.exists(path):
+        # Compile to a private temp name and rename into place: os.rename
+        # is atomic, so a concurrent process can never dlopen a
+        # half-written .so.
+        tmp = f"{path}.tmp.{os.getpid()}"
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", "-pthread", _SRC, "-o", path],
+                 "-std=c++17", "-pthread", _SRC, "-o", tmp],
                 check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            print(f"native vecenv unavailable ({e}); using Python paths")
+            os.rename(tmp, path)
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                OSError) as e:
+            print(f"native vecenv unavailable ({e}); using Python paths",
+                  file=sys.stderr)
+            if os.path.exists(tmp):
+                os.remove(tmp)
             _LIB_CACHE[path] = None
             return None
     lib = ctypes.CDLL(path)
@@ -122,6 +132,12 @@ class NativeVecEnv:
 
     def step(self, actions: np.ndarray):
         actions = np.ascontiguousarray(actions, np.float64)
+        # validate BEFORE handing the pointer to C: the native side reads
+        # actions + i*action_size for every env — a wrong shape would be
+        # an out-of-bounds read, not a Python error
+        if actions.shape != (self.n_envs, self.action_size):
+            raise ValueError(f"actions must be [{self.n_envs}, "
+                             f"{self.action_size}], got {actions.shape}")
         obs = np.empty((self.n_envs, self.obs_size), np.float64)
         rew = np.empty(self.n_envs, np.float64)
         done = np.empty(self.n_envs, np.float64)
@@ -162,10 +178,12 @@ class PythonEnvPool:
                 # per-slot seed offsets (gym AsyncVectorEnv semantics):
                 # a shared seed would put every slot's np_random in lockstep
                 s = None if self._reset_seed is None else self._reset_seed + i
-                obs = self.envs[i].reset(seed=s)
-                ctypes.memmove(obs_ptr,
-                               np.ascontiguousarray(obs, np.float64).ctypes.data,
-                               8 * self.obs_size)
+                obs = np.ascontiguousarray(self.envs[i].reset(seed=s),
+                                           np.float64)
+                if obs.size != self.obs_size:  # memmove would read OOB
+                    raise ValueError(f"env {i} reset obs size {obs.size} "
+                                     f"!= {self.obs_size}")
+                ctypes.memmove(obs_ptr, obs.ctypes.data, 8 * self.obs_size)
             except BaseException as exc:  # ctypes swallows exceptions
                 self._error = exc
 
@@ -174,9 +192,11 @@ class PythonEnvPool:
                 action = np.ctypeslib.as_array(act_ptr,
                                                (self.action_size,))
                 obs, rew, done, _trunc, suc = self.envs[i].step(action)
-                ctypes.memmove(obs_ptr,
-                               np.ascontiguousarray(obs, np.float64).ctypes.data,
-                               8 * self.obs_size)
+                obs = np.ascontiguousarray(obs, np.float64)
+                if obs.size != self.obs_size:  # memmove would read OOB
+                    raise ValueError(f"env {i} step obs size {obs.size} "
+                                     f"!= {self.obs_size}")
+                ctypes.memmove(obs_ptr, obs.ctypes.data, 8 * self.obs_size)
                 rew_ptr[0] = float(rew)
                 done_ptr[0] = 1.0 if done else 0.0
                 suc_ptr[0] = float(suc)
@@ -213,6 +233,12 @@ class PythonEnvPool:
 
     def step(self, actions: np.ndarray):
         actions = np.ascontiguousarray(actions, np.float64)
+        # validate BEFORE handing the pointer to C: the native side reads
+        # actions + i*action_size for every env — a wrong shape would be
+        # an out-of-bounds read, not a Python error
+        if actions.shape != (self.n_envs, self.action_size):
+            raise ValueError(f"actions must be [{self.n_envs}, "
+                             f"{self.action_size}], got {actions.shape}")
         obs = np.empty((self.n_envs, self.obs_size), np.float64)
         rew = np.empty(self.n_envs, np.float64)
         done = np.empty(self.n_envs, np.float64)

@@ -47,7 +47,9 @@ struct EnvVTable {
 
 // ---------------------------------------------------------------------------
 // Built-in Particles2D (envs/particles2d.py parity: action clip 0.1,
-// reward = -dist(pos, goal), done at dist < 0.01, frozen after done).
+// reward = -dist(pos, goal), done when BOTH |dx| and |dy| < 0.01 — the
+// l2l per-coordinate box termination, deviations registry D5 — frozen
+// after done).
 // ---------------------------------------------------------------------------
 
 struct P2DState {
@@ -83,7 +85,9 @@ static void p2d_step(void* s, const double* action, double* obs,
   double dy = st->pos[1] - st->goal[1];
   double dist = std::sqrt(dx * dx + dy * dy);
   *reward = -dist;
-  bool done_now = dist < kThresh;
+  // l2l Particles2DEnv box termination (matches envs/particles2d.py and
+  // the Pallas kernel after the round-3 D5 fix)
+  bool done_now = std::abs(dx) < kThresh && std::abs(dy) < kThresh;
   if (done_now) st->done = 1.0;
   *done = st->done;
   *success = done_now ? 1.0 : 0.0;

@@ -49,6 +49,9 @@ TASKS_PER_CLASS = 50
 class _Box:
     def __init__(self, shape):
         self.shape = shape
+        # real metaworld/gym Box surface: the adapter clamps to these
+        self.low = -np.ones(shape)
+        self.high = np.ones(shape)
 
 
 class Task:
@@ -82,7 +85,8 @@ class FakeSawyerEnv:
         return self._pos.copy(), {"initial": True}
 
     def step(self, action):
-        a = np.clip(np.asarray(action, np.float64), -1.0, 1.0)
+        self.last_action = np.asarray(action, np.float64).copy()
+        a = np.clip(self.last_action, -1.0, 1.0)
         delta = np.zeros(OBS_DIM)
         delta[:ACT_DIM] = a
         self._pos = self._pos + 0.05 * delta

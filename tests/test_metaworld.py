@@ -69,6 +69,19 @@ def test_adapter_horizon_done_and_success_stripping(fake_metaworld):
     assert env.get_max_path_length() == 7
 
 
+def test_adapter_clamps_actions_to_space(fake_metaworld):
+    """ActionSpaceScaler parity (reference env_maker.py:39): the physics
+    must see actions clamped to the action-space bounds, not the raw
+    Gaussian sample."""
+    env = _ml10(fake_metaworld, seed=0)
+    env.set_task(env.sample_tasks(None, 1)[0])
+    env.reset(seed=1)
+    env.step(np.full(env.action_size, 5.0))
+    assert np.all(np.abs(env._env.last_action) <= 1.0)
+    env.step(np.full(env.action_size, -3.0))
+    assert np.all(env._env.last_action == -1.0)
+
+
 def test_adapter_success_flag(fake_metaworld):
     env = _ml10(fake_metaworld, seed=0)
     task = env.sample_tasks(None, 1)[0]

@@ -47,6 +47,24 @@ def test_parity_with_jax_device_env():
         assert float(done_j) == done_n[0]
 
 
+def test_box_termination_corner_parity():
+    """Box-vs-disk divergence point (deviations registry D5): at
+    diff = (0.008, 0.008) the l2l box test terminates (both coords
+    < 0.01) while the old Euclidean-disk rule would not (dist ~0.0113).
+    Native and device envs must agree on the box semantics."""
+    task = jnp.array([0.008, 0.008])
+    jenv = Particles2D()
+    state, _ = jenv.reset(jax.random.key(0), task)
+    zero = jnp.zeros(2)
+    state, _, _, done_j, suc_j = jenv.step(state, zero, task)
+
+    nenv = native.NativeVecEnv(n_envs=1)
+    nenv.reset(np.asarray(task))
+    _, _, done_n, suc_n = nenv.step(np.zeros((1, 2)))
+    assert float(done_j) == done_n[0] == 1.0
+    assert float(suc_j) == suc_n[0] == 1.0
+
+
 def test_per_env_tasks():
     env = native.NativeVecEnv(n_envs=2)
     tasks = np.array([[0.5, 0.0], [0.0, 0.5]])
