@@ -29,7 +29,9 @@ def make_task_mesh(n_devices: int | None = None, axis: str = "tasks") -> Mesh:
     """1-D mesh over the first ``n_devices`` local devices."""
     import numpy as np
     devs = jax.devices()
-    n = n_devices or len(devs)
+    n = len(devs) if n_devices is None else n_devices
+    if n < 1:
+        raise ValueError(f"mesh needs >= 1 device, got {n}")
     if n > len(devs):
         # Never truncate silently: a --mesh larger than the machine would
         # otherwise shrink the effective meta-batch with no warning.
@@ -48,8 +50,6 @@ def make_sharded_meta_step(fast_adapt: Callable,
     leaves with a leading meta-batch axis divisible by the mesh size;
     params/opt_state are replicated.
     """
-    n_shards = mesh.shape[axis]
-
     def local_step(params, opt_state, *task_batch):
         def batch_loss(p, *tb):
             results = jax.vmap(lambda *t: fast_adapt(p, *t))(*tb)
@@ -126,15 +126,17 @@ def make_sharded_train_scan(fast_adapt: Callable,
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         metric = jax.lax.pmean(metric, axis)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
         out = {"loss": loss, "metric": metric}
         if eval_sample_local is not None:
+            # PRE-update params: the reference's valid pass runs before
+            # opt.step() (vision/maml_vision.py:117-141)
             vb = eval_sample_local(jax.random.fold_in(k_va, shard_idx),
                                    *data)
             v_loss, v_metric = batch_loss(params, *vb)
             out["valid_loss"] = jax.lax.pmean(v_loss, axis)
             out["valid_metric"] = jax.lax.pmean(v_metric, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, out
 
     @jax.jit

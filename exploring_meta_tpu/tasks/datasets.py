@@ -104,6 +104,14 @@ def load_omniglot(seed: int = 42, synthetic: bool | None = None,
         packed = _synthetic_classes(seed, n, synthetic_per_class, 28, 28, 1)
         splits = (int(n * 1100 / 1623), int(n * 1200 / 1623))
     else:
+        if packed.shape[0] != 1623:
+            # The reference's 1100/100/423 split is defined over the full
+            # 1623-class FullOmniglot; silently splitting a partial pack
+            # would give empty/mis-proportioned splits.
+            raise ValueError(
+                f"packed omniglot has {packed.shape[0]} classes, expected "
+                "1623 (full FullOmniglot) — re-run scripts/pack_datasets.py "
+                "on the complete dataset, or use synthetic=True")
         splits = (1100, 1200)
 
     rng = np.random.default_rng(seed)
@@ -123,10 +131,22 @@ def load_mini_imagenet(seed: int = 42, synthetic: bool | None = None,
     """-> (train, valid, test) PackedDatasets; 64/16/20 class splits are
     fixed by the dataset definition, not reshuffled."""
     sizes = {"train": 64, "validation": 16, "test": 20}
+    paths = {m: os.path.join(DATA_DIR, f"mini_imagenet_{m}.npz")
+             for m in sizes}
+    # Resolve all three splits together: a partial pack must not silently
+    # mix real and synthetic splits (accuracy would be measured on
+    # synthetic tasks while looking like real mini-ImageNet results).
+    if synthetic is not True:
+        present = {m: os.path.exists(p) for m, p in paths.items()}
+        if any(present.values()) and not all(present.values()):
+            missing = [paths[m] for m, ok in present.items() if not ok]
+            raise ValueError(
+                "partially packed mini-ImageNet: missing "
+                f"{missing} — re-run scripts/pack_datasets.py for every "
+                "split, or use synthetic=True")
     out = []
     for i, (mode, n_cls) in enumerate(sizes.items()):
-        packed = _resolve_packed(
-            synthetic, os.path.join(DATA_DIR, f"mini_imagenet_{mode}.npz"))
+        packed = _resolve_packed(synthetic, paths[mode])
         if packed is None:
             packed = _synthetic_classes(seed + i, n_cls, synthetic_per_class,
                                         84, 84, 3)

@@ -30,7 +30,14 @@ from exploring_meta_tpu.tasks.datasets import PackedDataset
 
 
 def _choice_no_replace(key, n: int, k: int) -> jnp.ndarray:
-    """k indices from [0, n) without replacement (argsort-of-uniform)."""
+    """k indices from [0, n) without replacement (argsort-of-uniform).
+
+    Deliberately NOT ``jax.random.choice(replace=False)``: that API is
+    also permutation-based (same cost, same uniformity — argsort of iid
+    uniforms is an unbiased random permutation), but swapping would change
+    every seeded draw and so every recorded training trajectory; the
+    explicit form also keeps the sampler's RNG consumption obvious (one
+    uniform vector per call)."""
     return jnp.argsort(jax.random.uniform(key, (n,)))[:k]
 
 

@@ -185,17 +185,19 @@ class VisionTrainer(Experiment):
                             k_tr, train_ds, cfg.ways, cfg.shots,
                             cfg.meta_batch_size))
                         sync.append(data)
-                    with ph("meta_step") as sync:
-                        params, opt_state, train_m = meta_step(
-                            params, opt_state, data, labels)
-                        sync.append(train_m)
-
                     with ph("valid_eval") as sync:
+                        # PRE-update params: the reference's valid pass
+                        # runs before opt.step() (maml_vision.py:117-141)
                         v_data, v_labels = tasks.sample_task_batch(
                             k_va, valid_ds, cfg.ways, cfg.shots,
                             cfg.meta_batch_size)
                         valid_m = meta_eval(params, v_data, v_labels)
                         sync.append(valid_m)
+
+                    with ph("meta_step") as sync:
+                        params, opt_state, train_m = meta_step(
+                            params, opt_state, data, labels)
+                        sync.append(train_m)
 
                     metrics = {
                         "train_loss": float(train_m["loss"]),
