@@ -11,9 +11,11 @@ def normalize(x: jnp.ndarray, epsilon: float = 1e-8) -> jnp.ndarray:
     Matches ``ch.normalize`` (reference ``core_functions/rl.py:278,355``);
     torch's ``std()`` is unbiased, hence ``ddof=1``.
     """
-    n = x.size
-    std = jnp.std(x, ddof=1) if n > 1 else jnp.zeros((), dtype=x.dtype)
-    return (x - jnp.mean(x)) / (std + epsilon)
+    if x.size <= 1:
+        # cherry: `if tensor.numel() <= 1: return tensor` — a length-1
+        # "advantage" passes through unchanged, not zeroed.
+        return x
+    return (x - jnp.mean(x)) / (jnp.std(x, ddof=1) + epsilon)
 
 
 def onehot(x: jnp.ndarray, dim: int) -> jnp.ndarray:

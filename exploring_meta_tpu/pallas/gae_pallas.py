@@ -34,7 +34,11 @@ def _gae_kernel(gamma, tau, r_ref, d_ref, v_ref, out_ref):
     def body(i, carry):
         t = T - 1 - i
         not_done = 1.0 - d_ref[t, :]
-        next_v = jnp.where(t == T - 1, jnp.zeros_like(carry), v_ref[t + 1, :])
+        # clamp the load index: at t == T-1 the where discards the value,
+        # but v_ref[T] itself would be an out-of-bounds read (undefined in
+        # pallas; today's Mosaic clamps, a future version may fault)
+        next_v = jnp.where(t == T - 1, jnp.zeros_like(carry),
+                           v_ref[jnp.minimum(t + 1, T - 1), :])
         td = r_ref[t, :] + gamma * not_done * next_v - v_ref[t, :]
         carry = td + gamma * tau * not_done * carry
         out_ref[t, :] = carry
@@ -80,7 +84,7 @@ def _flatten_time_major(x):
     return flat, lambda y: y.reshape(shape)
 
 
-def _make_batch_rule(fn, n_args):
+def _make_batch_rule(fn):
     """custom_vmap rule: fold the vmapped axis into the trailing lane axis
     (the kernel vectorizes over lanes), instead of letting pallas_call's
     default batching insert a grid dimension that violates TPU tiling."""
@@ -136,7 +140,7 @@ def _build_gae(gamma: float, tau: float):
     core.defvjp(fwd, bwd)
 
     wrapped = jax.custom_batching.custom_vmap(core)
-    wrapped.def_vmap(_make_batch_rule(core, 3))
+    wrapped.def_vmap(_make_batch_rule(core))
     return wrapped
 
 
@@ -161,7 +165,7 @@ def _build_discount(gamma: float):
     core.defvjp(fwd, bwd)
 
     wrapped = jax.custom_batching.custom_vmap(core)
-    wrapped.def_vmap(_make_batch_rule(core, 2))
+    wrapped.def_vmap(_make_batch_rule(core))
     return wrapped
 
 

@@ -65,7 +65,7 @@ def _rollout_kernel(B, E, horizon, max_action, goal_threshold, activation,
                     w3_ref, b3_ref, sigma_ref,
                     states_ref, actions_ref, rewards_ref, dones_ref,
                     next_states_ref, success_ref, valid_ref,
-                    pos_ref, done_ref, loc_ref):
+                    pos_ref, done_ref, loc_ref, scale_ref):
     """Lanes are B tasks x E episodes, laid out task-major."""
     pltpu.prng_seed(seed_ref[0])
 
@@ -74,6 +74,18 @@ def _rollout_kernel(B, E, horizon, max_action, goal_threshold, activation,
 
     act = jnp.tanh if activation == "tanh" else (lambda x: jnp.maximum(x, 0.0))
     goals = goal_ref[:, :]  # [B*E, 2] per-lane goals
+
+    # Per-task sigma expanded to lanes ONCE (loop-invariant). Lanes are
+    # task-major (lane = b*E + e), so the expansion must be elementwise
+    # repeat — NOT pltpu.repeat, whose tile/concat semantics would give
+    # lane l task (l mod B)'s sigma.
+    def fill_scale(b, _):
+        rows = pl.ds(b * E, E)
+        sc = jnp.exp(jnp.clip(sigma_ref[b, 0, :], min=MIN_LOG_SIGMA))
+        scale_ref[rows, :] = jnp.broadcast_to(sc[None, :], (E, sc.shape[0]))
+        return 0
+
+    jax.lax.fori_loop(0, B, fill_scale, 0)
 
     def step(t, _):
         pos = pos_ref[:, :]
@@ -95,10 +107,8 @@ def _rollout_kernel(B, E, horizon, max_action, goal_threshold, activation,
 
         jax.lax.fori_loop(0, B, per_task, 0)
 
-        scale = jnp.exp(jnp.clip(sigma_ref[:, 0, :], min=MIN_LOG_SIGMA))  # [B, A]
-        scale_lanes = pltpu.repeat(scale, E, axis=0)          # [B*E, A]
         loc = loc_ref[:, :]
-        action = loc + scale_lanes * _std_normal(loc.shape)
+        action = loc + scale_ref[:, :] * _std_normal(loc.shape)
 
         # Particles2D dynamics (envs/particles2d.py parity).
         clipped = jnp.clip(action, -max_action, max_action)
@@ -153,6 +163,7 @@ def _build_call(B: int, E: int, horizon: int, max_action: float,
             pltpu.VMEM((L, 2), jnp.float32),   # pos
             pltpu.VMEM((L, 1), jnp.float32),   # done
             pltpu.VMEM((L, 2), jnp.float32),   # loc
+            pltpu.VMEM((L, 2), jnp.float32),   # per-lane sigma scale
         ],
         interpret=interpret,
     )
@@ -185,9 +196,9 @@ def make_fused_particles2d_rollout(policy: DiagNormalPolicy, episodes: int,
     @jax.custom_batching.custom_vmap
     def core(stacked, goals, seed):
         # unbatched: B=1. stacked leaves [2,H]/[1,H]/..., goals [E,2].
-        stacked1 = tuple(x[None] if x.ndim == 2 else x for x in stacked)
-        # biases arrive [1,H]: add task axis -> [1,1,H]
-        stacked1 = tuple(x if x.ndim == 3 else x[None] for x in stacked1)
+        # every leaf arrives ndim 2 ([2,H] weights, [1,H] biases,
+        # [1,A] sigma): add the task axis -> ndim 3
+        stacked1 = tuple(x[None] for x in stacked)
         outs = run(1, seed, goals, stacked1)
         return outs
 
@@ -208,7 +219,12 @@ def make_fused_particles2d_rollout(policy: DiagNormalPolicy, episodes: int,
         else:
             flat_goals = jnp.broadcast_to(goals[None],
                                           (B,) + goals.shape).reshape(-1, 2)
-        seed0 = seed[0] if seed_b else seed
+        # Fold ALL tasks' seeds into the kernel's single PRNG stream
+        # (int32 wraparound sum): varying any task's key changes the
+        # batch's noise. Per-task streams are decorrelated by lane
+        # position, not key — documented kernel semantics.
+        seed0 = (jnp.sum(seed, axis=0, dtype=jnp.int32) if seed_b
+                 else seed)
         outs = run(B, seed0, flat_goals, stackedB)
 
         def split(x):

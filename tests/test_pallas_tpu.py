@@ -58,3 +58,33 @@ def test_fused_rollout_vmap_with_per_task_params():
                         jax.random.split(jax.random.key(4), 4))
     assert np.isfinite(np.asarray(loss)).all()
     assert loss.shape == (4,)
+
+
+def test_fused_rollout_per_task_sigma_lanes():
+    """Regression for the task-major lane expansion of per-task sigma:
+    task 0 runs with a collapsed sigma (deterministic: action == policy
+    mean) while task 1 keeps sigma = 1 — under vmap over tasks, EVERY
+    lane of task 0 must be noise-free and task 1's must not be. The old
+    pltpu.repeat (tile) expansion gave lane l task (l mod B)'s sigma."""
+    policy = DiagNormalPolicy(input_size=2, output_size=2)
+    base = policy.init(jax.random.key(0))
+    p0 = dict(base, sigma=jnp.full_like(base["sigma"], -40.0))  # collapsed
+    p1 = dict(base, sigma=jnp.zeros_like(base["sigma"]))        # sigma = 1
+    stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), p0, p1)
+
+    E, H = 8, 10
+    roll = make_fused_particles2d_rollout(policy, episodes=E, horizon=H)
+    tasks = jnp.array([[0.3, 0.2], [-0.4, 0.1]])
+    keys = jax.random.split(jax.random.key(5), 2)
+    tr = jax.vmap(roll)(stacked, tasks, keys)
+
+    # replay the recorded states through the policy mean per task
+    def mean_actions(params, states):
+        return jax.vmap(lambda s: policy.density(params, s)[0])(states)
+
+    loc0 = mean_actions(p0, tr.state[0])   # [T, E, 2]
+    dev0 = np.max(np.abs(np.asarray(tr.action[0] - loc0)))
+    loc1 = mean_actions(p1, tr.state[1])
+    dev1 = np.max(np.abs(np.asarray(tr.action[1] - loc1)))
+    assert dev0 < 1e-5, f"task 0 (collapsed sigma) sampled noise: {dev0}"
+    assert dev1 > 0.05, f"task 1 (sigma=1) shows no sampling noise: {dev1}"
