@@ -129,6 +129,8 @@ def run_cl_rl_exp(path, policy, params, env, rollout_fn: Callable,
     (n phases instead of n^2) — same math, n-fold fewer per-step policy
     round-trips.
     """
+    if algo not in ("vpg", "ppo", "trpo"):
+        raise ValueError(f"unknown adaptation algo {algo!r}")
     cl_path = os.path.join(path, "cl_exp")
     os.makedirs(cl_path, exist_ok=True)
 

@@ -137,23 +137,18 @@ def run(base_path: str, run_eval: bool = True, run_cl: bool = False,
         # Representation drift across training checkpoints on probe states
         # from one rollout (reference rc_rl.py:295-353
         # measure_change_through_time).
-        import glob
-        import re
-
-        import numpy as np
-
         from exploring_meta_tpu.analysis.rc import (
-            measure_change_through_time,
+            measure_change_through_time, real_states,
         )
-        ckpt_paths = sorted(
-            glob.glob(os.path.join(base_path, "model_checkpoints",
-                                   "model_*.npz")),
-            key=lambda p: int(re.search(r"model_(\d+)\.npz$", p).group(1)))
+        from exploring_meta_tpu.utils.experiment import list_checkpoints
+        ckpt_paths = [path for _, path in list_checkpoints(base_path)]
         if len(ckpt_paths) >= 2:
             key, kt, kr = jax.random.split(key, 3)
             probe_task = env.sample_tasks(kt, 1)[0]
             traj = roll(params, probe_task, kr)
-            probe = np.asarray(traj.state).reshape(-1, env.obs_size)[:64]
+            # real episode states only: post-termination filler rows are
+            # frozen/zero and would bias the similarity statistics
+            probe = real_states(traj)[:64]
             ckpt_params = [load_params(p, template) for p in ckpt_paths]
             out["cca_through_time"] = measure_change_through_time(
                 base_path, ckpt_params,

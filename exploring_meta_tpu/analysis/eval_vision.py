@@ -57,19 +57,16 @@ def run(base_path: str, n_eval_batches: int = 20, run_cl: bool = True,
     key = jax.random.key(config["seed"] + 1)
 
     # Per-checkpoint accuracy sweep (reference eval_vision.py:79-88).
+    from exploring_meta_tpu.utils.experiment import list_checkpoints
     ckpt_results = {}
-    for path in sorted(glob.glob(os.path.join(base_path, "model_checkpoints",
-                                              "model_*.npz"))):
-        m = re.search(r"model_(\d+)\.npz$", path)
-        if not m:
-            continue
+    for step, path in list_checkpoints(base_path):
         ck_params = load_params(path, template)
         key, k = jax.random.split(key)
         data, labels = tasks.sample_task_batch(
             k, test_ds, config["ways"], config["shots"],
             config["meta_batch_size"])
         res = meta_eval(ck_params, data, labels)
-        ckpt_results[int(m.group(1))] = float(res["metric"])
+        ckpt_results[step] = float(res["metric"])
     with open(os.path.join(base_path, "ckpnt_results.json"), "w") as f:
         json.dump(ckpt_results, f, sort_keys=True, indent=4)
 
@@ -108,10 +105,7 @@ def run(base_path: str, n_eval_batches: int = 20, run_cl: bool = True,
 
         # Representation drift across training checkpoints (reference
         # rc_rl.py:295-353 measure_change_through_time).
-        ckpt_paths = sorted(
-            glob.glob(os.path.join(base_path, "model_checkpoints",
-                                   "model_*.npz")),
-            key=lambda p: int(re.search(r"model_(\d+)\.npz$", p).group(1)))
+        ckpt_paths = [path for _, path in list_checkpoints(base_path)]
         if len(ckpt_paths) >= 2:
             from exploring_meta_tpu.analysis.rc import (
                 measure_change_through_time)

@@ -34,6 +34,15 @@ def sanity_check(rep_fn: Callable, params, inputs) -> None:
     assert np.array_equal(r1, r2), "representations are not deterministic"
 
 
+def real_states(traj):
+    """Flat states with post-termination filler rows removed — the
+    reference walks only real episode states (rc_rl.py:246-283); frozen
+    filler rows would bias the similarity statistics."""
+    states = np.asarray(traj.flat(traj.state))
+    mask = np.asarray(traj.flat(traj.valid)) > 0
+    return states[mask]
+
+
 def _similarities(init_rep, adapted_rep, compare: tuple):
     """Similarity measures on [N, features] activations."""
     out = {}
@@ -44,6 +53,11 @@ def _similarities(init_rep, adapted_rep, compare: tuple):
         # rule implicitly: conv reps go in as (batch, C*H*W) with batch <
         # features (rc_vision.py:150-162) and MLP reps as (features, N)
         # with features < N (rc_rl.py:276).
+        if a.shape[0] == a.shape[1]:
+            # exactly-square activations satisfy neither orientation
+            # (get_cca_similarity asserts a STRICT states > features
+            # imbalance); dropping one state breaks the tie harmlessly
+            a, b = a[:-1], b[:-1]
         ca, cb = (a, b) if a.shape[0] < a.shape[1] else (a.T, b.T)
         out["cca"] = get_cca_similarity(ca, cb, epsilon=1e-10)[1]
     if "cka_linear" in compare:
@@ -112,7 +126,12 @@ def _per_state_similarity(rep_a, rep_b, max_states: int = 50):
         ra = ra - ra.mean()
         rb = rb - rb.mean()
         denom = np.linalg.norm(ra) * np.linalg.norm(rb)
-        sims.append(abs(float(ra @ rb / denom)) if denom > 0 else 1.0)
+        if denom > 0:
+            sims.append(abs(float(ra @ rb / denom)))
+        # constant/dead representations carry no similarity information:
+        # skip them rather than report a fake 1.0 that inflates the mean
+    if not sims:
+        return 1.0, 0.0  # every state constant under both models
     return float(np.mean(sims)), float(np.std(sims, ddof=1) if len(sims) > 1
                                        else 0.0)
 
@@ -174,13 +193,7 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
                     "adapt_mean": [], "adapt_var": []}
     performance = []
 
-    def _real_states(traj_i):
-        """Flat states with post-termination filler rows removed — the
-        reference walks only real episode states (rc_rl.py:246-283);
-        frozen filler rows would bias the similarity statistics."""
-        states = np.asarray(traj_i.flat(traj_i.state))
-        mask = np.asarray(traj_i.flat(traj_i.valid)) > 0
-        return states[mask]
+    _real_states = real_states
 
     def probe_step(task_idx, support_i, before_i, after_i, buf):
         """Per-(task, step) probes on the support states."""
@@ -245,8 +258,21 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
                                 "success_after": suc_after[i]})
             probe_layers(task_at(query, i), task_at(cur, i))
     else:
+        def _roll_adapt(p, t, k):
+            s = rollout_fn(p, t, k)
+            return s, single_adapt_step(algo, policy, p, s, cfg)
+
+        if host_env:
+            roll_adapt, jit_roll = _roll_adapt, rollout_fn
+        else:
+            # Device envs: rollout + inner update as ONE jitted program
+            # (standalone scans execute pathologically slowly on this
+            # runtime — CLAUDE.md); compiled once, reused across the
+            # n_tasks x adapt_steps loop. Key sequence unchanged.
+            roll_adapt, jit_roll = jax.jit(_roll_adapt), jax.jit(rollout_fn)
+
         for i in range(n_tasks):
-            key, ka, kq = jax.random.split(key, 3)
+            key, ka = jax.random.split(key)
             task = tasks[i] if isinstance(tasks, list) else \
                 jax.tree_util.tree_map(lambda x: x[i], tasks)
 
@@ -255,10 +281,9 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
             buf: list = []
             for step in range(adapt_steps):
                 ka, k = jax.random.split(ka)
-                support = rollout_fn(before, task, k)
+                support, after = roll_adapt(before, task, k)
                 if step == 0:
                     suc_before = float(jnp.mean(support.episode_successes()))
-                after = single_adapt_step(algo, policy, before, support, cfg)
                 suc_after = float(jnp.mean(support.episode_successes()))
                 probe_step(i, support, before, after, buf)
                 before = after
@@ -272,7 +297,7 @@ def run_rep_rl_exp(path, policy, params, env, rollout_fn: Callable, cfg,
                                 "success_after": suc_after})
 
             key, kq = jax.random.split(key)
-            query = rollout_fn(before, task, kq)
+            query = jit_roll(before, task, kq)
             sanity_check(lambda p, x: policy.get_representation(p, x),
                          params, _real_states(query))
             probe_layers(query, before)

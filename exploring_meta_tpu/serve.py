@@ -115,34 +115,52 @@ class VisionServer:
         """Serve one request -> ``(predicted_labels [Q], probs [Q, ways])``."""
         return self._one(self.params, support_x, support_y, query_x)
 
+    @staticmethod
+    def _bucket(B: int, multiple: int = 1) -> int:
+        """Next power-of-two bucket >= B (and a multiple of ``multiple``).
+
+        Each distinct batch shape compiles a fresh XLA program — 20s to
+        minutes through the remote compile service — so variable serving
+        concurrency must land on a small, fixed set of shapes."""
+        b = 1
+        while b < B:
+            b *= 2
+        while b % multiple:
+            b *= 2
+        return b
+
     def batch(self, support_x, support_y, query_x):
         """Serve B concurrent requests (leading axis) as one program.
 
-        With a mesh, requests are committed sharded over its first axis
-        and params replicated, so the one jitted program partitions over
-        all mesh devices (per-request work is independent — zero
-        collectives in the serving path). Ragged batches are padded up to
-        a device-count multiple (repeating the first request) and the
-        padding is sliced off the results.
+        Batches are padded (repeating the first request) up to the next
+        power-of-two bucket — so any concurrency level hits one of
+        log2(max_batch) compiled programs instead of compiling per size —
+        and the padding is sliced off the results. With a mesh, requests
+        are additionally committed sharded over its first axis with
+        params replicated, so the one jitted program partitions over all
+        mesh devices (per-request work is independent — zero collectives
+        in the serving path); buckets are then also device-count
+        multiples.
         """
+        B = support_x.shape[0]
+        bucket = self._bucket(B, self.mesh.size if self.mesh else 1)
+        pad = bucket - B
+        if pad:
+            tile = lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+            support_x, support_y, query_x = (
+                tile(support_x), tile(support_y), tile(query_x))
         if self.mesh is not None:
-            B = support_x.shape[0]
-            n = self.mesh.size
-            pad = (-B) % n
-            if pad:
-                tile = lambda x: jnp.concatenate(
-                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
-                support_x, support_y, query_x = (
-                    tile(support_x), tile(support_y), tile(query_x))
             shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
             support_x, support_y, query_x = (
                 jax.device_put(support_x, shard),
                 jax.device_put(support_y, shard),
                 jax.device_put(query_x, shard))
-            preds, probs = self._batched(self._mesh_params, support_x,
-                                         support_y, query_x)
-            return (preds[:B], probs[:B]) if pad else (preds, probs)
-        return self._batched(self.params, support_x, support_y, query_x)
+            params = self._mesh_params
+        else:
+            params = self.params
+        preds, probs = self._batched(params, support_x, support_y, query_x)
+        return (preds[:B], probs[:B]) if pad else (preds, probs)
 
 
 class PolicyServer:

@@ -48,6 +48,21 @@ def unflatten_into(tree, flat: dict, prefix: str = ""):
     return jax.tree_util.tree_map_with_path(rebuild, tree)
 
 
+def list_checkpoints(run_dir: str) -> list:
+    """Numerically sorted ``[(step, path)]`` of
+    ``model_checkpoints/model_<step>.npz`` under ``run_dir`` (lexicographic
+    sorting would put model_10 before model_2)."""
+    import glob
+    import re
+    out = []
+    for path in glob.glob(os.path.join(run_dir, "model_checkpoints",
+                                       "model_*.npz")):
+        m = re.search(r"model_(\d+)\.npz$", path)
+        if m:
+            out.append((int(m.group(1)), path))
+    return sorted(out)
+
+
 class DivergenceError(RuntimeError):
     """Raised by the training-loss watchdog when a logged ``*loss`` metric
     goes non-finite. Trainers catch it next to KeyboardInterrupt and run

@@ -61,6 +61,25 @@ class TestVisionServer:
             np.testing.assert_allclose(np.asarray(bprobs[i]),
                                        np.asarray(probs), atol=1e-5)
 
+    def test_ragged_batch_buckets(self, vision_server):
+        """Non-power-of-two batches are padded to a bucket and sliced:
+        results must match the loop, and distinct sizes within one bucket
+        must reuse the same compiled shape (B=5 and B=7 both pad to 8)."""
+        _, _, server = vision_server
+        from exploring_meta_tpu.serve import VisionServer
+        assert VisionServer._bucket(5) == 8 == VisionServer._bucket(7)
+        assert VisionServer._bucket(8) == 8
+        assert VisionServer._bucket(9, multiple=8) == 16
+        reqs = [_request(jax.random.key(40 + i)) for i in range(7)]
+        bx, by, bq = (jnp.stack([r[i] for r in reqs]) for i in range(3))
+        for B in (5, 7):
+            preds, probs = server.batch(bx[:B], by[:B], bq[:B])
+            assert preds.shape[0] == B and probs.shape[0] == B
+            for i in range(B):
+                p1, _ = server(*reqs[i])
+                np.testing.assert_array_equal(np.asarray(preds[i]),
+                                              np.asarray(p1))
+
     def test_mesh_sharded_batch_matches(self, vision_server):
         spec, params, _ = vision_server
         from exploring_meta_tpu.parallel.mesh import make_task_mesh
