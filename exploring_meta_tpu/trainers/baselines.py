@@ -55,9 +55,17 @@ def _setup_rl_baseline(cfg: RLScriptConfig):
     device envs to the fused scan rollout and host envs (MuJoCo /
     Meta-World) to the eager HostVecEnv path."""
     _warn_unsupported(cfg)
+    # Collection here is forward-only too, but the baselines keep the
+    # module default policy placement: a previous trainer in this process
+    # may have left it on another backend (same always-set rule as the
+    # meta-trainers).
+    from exploring_meta_tpu.envs.host import set_host_policy_device
+    set_host_policy_device("device")
     env, is_device = make_env(cfg.env, workers=cfg.adapt_batch_size,
                               seed=cfg.seed,
-                              max_path_length=cfg.max_path_length)
+                              max_path_length=cfg.max_path_length,
+                              n_threads=cfg.workers if cfg.workers > 1
+                              else None)
     policy = build_policy(env, anil=False, activation=cfg.activation)
     if is_device:
         roll = rl.make_rollout(env, policy.sample,

@@ -110,23 +110,15 @@ class RLTrainer(Experiment):
         # carry resumable optimizer state.
         self._opt = None if self.algo == "trpo" else optax.adam(cfg.outer_lr)
 
-        start_iteration = 0
         state = None
-        if getattr(cfg, "resume", ""):  # true mid-training resume
-            from exploring_meta_tpu.utils.experiment import load_checkpoint
+        if cfg.resume:  # true mid-training resume
+            from exploring_meta_tpu.utils.experiment import resume_training
             opt_template = (self._opt.init(params)
                             if self._opt is not None else None)
-            params, opt_state_r, rng_key, done_iter = load_checkpoint(
-                cfg.resume, params, opt_template)
-            if opt_state_r is not None:
-                state = opt_state_r
-            if rng_key is not None:
-                key = rng_key
-            # Checkpoints are written AFTER iteration i completes, so the
-            # resumed run continues at i+1 (vision trainer convention).
-            start_iteration = done_iter + 1
-            print(f"Resumed from {cfg.resume}: iteration {done_iter} done, "
-                  f"continuing at {start_iteration}")
+            params, state, key, start_iteration = resume_training(
+                cfg.resume, params, opt_template, key)
+        else:
+            start_iteration = 0
 
         rl_cfg = rl.RLConfig(
             inner_lr=cfg.inner_lr, gamma=cfg.gamma, tau=cfg.tau,
@@ -159,23 +151,21 @@ class RLTrainer(Experiment):
         use_fused = cfg.fuse > 1 and is_device
         if use_fused:
             step_fn = None
-        elif self.algo == "trpo":
-            if is_device:
-                step_fn = self._make_trpo_iteration(env, policy, roll, rl_cfg)
-            elif cfg.task_batch:
-                step_fn = self._make_host_batched_iteration(env, policy,
-                                                            roll, rl_cfg)
-            else:
-                step_fn = self._make_host_trpo_iteration(env, policy, roll,
-                                                         rl_cfg)
-        elif is_device:
-            step_fn = self._make_adam_iteration(env, policy, roll, rl_cfg)
-        elif cfg.task_batch:
+        elif not is_device and cfg.task_batch:
+            # lockstep host collection is algo-independent (the replay
+            # rederive / TRPO outer step dispatch happens inside)
             step_fn = self._make_host_batched_iteration(env, policy, roll,
                                                         rl_cfg)
+        elif self.algo == "trpo":
+            step_fn = (self._make_trpo_iteration(env, policy, roll, rl_cfg)
+                       if is_device else
+                       self._make_host_trpo_iteration(env, policy, roll,
+                                                      rl_cfg))
         else:
-            step_fn = self._make_host_adam_iteration(env, policy, roll,
-                                                     rl_cfg)
+            step_fn = (self._make_adam_iteration(env, policy, roll, rl_cfg)
+                       if is_device else
+                       self._make_host_adam_iteration(env, policy, roll,
+                                                      rl_cfg))
 
         t = trange(start_iteration, cfg.num_iterations,
                    initial=start_iteration, total=cfg.num_iterations)
@@ -209,6 +199,10 @@ class RLTrainer(Experiment):
                 iteration = self._fused_iteration
                 if self._fused_params is not None:
                     params = self._fused_params
+            # `key` may still be the pre-loop key here (the fused loop
+            # rebinds it only on normal return) — splitting it again for
+            # the meta-test would reproduce training chunk 1's stream
+            key = jax.random.fold_in(key, 0x5eed)
             self.mark_stopped(stop, iteration)
 
         self.flush_checkpoints()

@@ -70,23 +70,20 @@ class VisionTrainer(Experiment):
         opt = optax.adam(cfg.outer_lr)
         opt_state = opt.init(params)
 
-        start_iteration = 0
         if cfg.resume:  # true mid-training resume (the reference cannot)
-            from exploring_meta_tpu.utils.experiment import load_checkpoint
-            params, opt_state_r, rng_key, done_iter = load_checkpoint(
-                cfg.resume, params, opt_state)
+            from exploring_meta_tpu.utils.experiment import resume_training
+            params, opt_state_r, key, start_iteration = resume_training(
+                cfg.resume, params, opt_state, key)
             if opt_state_r is not None:
                 opt_state = opt_state_r
-            if rng_key is not None:
-                key = rng_key
-            # Checkpoints are written AFTER iteration i completes, so the
-            # resumed run continues at i+1 (re-running i would apply a
-            # duplicate update on already-updated params).
-            start_iteration = done_iter + 1
-            print(f"Resumed from {cfg.resume}: iteration {done_iter} done, "
-                  f"continuing at {start_iteration}")
+        else:
+            start_iteration = 0
 
-        if cfg.mesh > 1:
+        if cfg.fuse > 1:
+            # the fused branch builds its own (optionally sharded) scans;
+            # only the meta_eval below is shared
+            meta_step = place = None
+        elif cfg.mesh > 1:
             mesh = parallel.make_task_mesh(cfg.mesh)
             meta_step = parallel.make_sharded_meta_step(fast_adapt, opt, mesh)
             place = lambda batch: parallel.shard_task_batch(mesh, batch)
@@ -214,6 +211,10 @@ class VisionTrainer(Experiment):
                                                    rng_key=key,
                                                    async_write=cfg.async_ckpt)
         except (KeyboardInterrupt, DivergenceError) as stop:
+            # in fused mode `key` may still be the pre-loop key here —
+            # splitting it for the final meta-test would reproduce
+            # training chunk 1's stream
+            key = jax.random.fold_in(key, 0x5eed)
             self.mark_stopped(stop, iteration)
 
         self.flush_checkpoints()

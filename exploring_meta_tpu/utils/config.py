@@ -134,8 +134,13 @@ def vision_argparser(defaults: VisionConfig,
 
 @dataclass
 class RLScriptConfig:
-    """Defaults = reference ``rl/maml_trpo.py:19-40`` (TRPO) /
-    ``rl/maml_ppo.py`` (PPO fields)."""
+    """Flag surface = the reference RL scripts (``rl/maml_trpo.py:19-40``
+    field names + the TRPO/PPO-specific knobs). NUMERIC defaults are this
+    framework's own compute-scaled working set — the reference's differ
+    per script (maml_trpo: inner_lr 0.001 / outer_lr 0.3 / meta_batch 40 /
+    horizon 150; maml_ppo: inner_lr 0.01 / outer_lr 0.01 / clip 0.1) and
+    no single dataclass can match all of them; pass the reference values
+    explicitly to reproduce a reference configuration."""
     env: str = "Particles2D-v1"
     outer_lr: float = 0.1
     inner_lr: float = 0.05

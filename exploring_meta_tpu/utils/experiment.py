@@ -63,6 +63,25 @@ def list_checkpoints(run_dir: str) -> list:
     return sorted(out)
 
 
+def resume_training(resume_path: str, params, opt_template, key):
+    """Shared mid-training resume (vision + RL trainers): restore params,
+    optimizer state (when the checkpoint carries one), and the RNG key,
+    and return the iteration to CONTINUE at. Checkpoints are written
+    AFTER iteration i completes, so the resumed run continues at i + 1 —
+    re-running i would apply a duplicate update on already-updated
+    params.
+
+    -> ``(params, opt_state_or_None, key, start_iteration)``."""
+    params, opt_state, rng_key, done_iter = load_checkpoint(
+        resume_path, params, opt_template)
+    if rng_key is not None:
+        key = rng_key
+    start = done_iter + 1
+    print(f"Resumed from {resume_path}: iteration {done_iter} done, "
+          f"continuing at {start}")
+    return params, opt_state, key, start
+
+
 class DivergenceError(RuntimeError):
     """Raised by the training-loss watchdog when a logged ``*loss`` metric
     goes non-finite. Trainers catch it next to KeyboardInterrupt and run
