@@ -342,16 +342,20 @@ def measure_torch_cpu_trpo_baseline() -> float:
 # ---------------------------------------------------------------------------
 
 def _measure_vision(anil: bool) -> float:
-    from exploring_meta_tpu.models.layers import set_conv_impl
+    from exploring_meta_tpu.models.layers import set_conv_impl, set_precision
     # A/B knob for the space-to-depth stride-2 conv lowering (--conv_impl
     # s2d; exact math, see models/layers.py). Always set BOTH ways so the
-    # knob can't leak into later configs of a --all run.
+    # knob can't leak into later configs of a --all run — and restore the
+    # MXU precision the vision configs flip (a leaked "default" would run
+    # every later --all config's matmuls in bf16, making BENCH_FULL rows
+    # incomparable with standalone --config runs).
     set_conv_impl("s2d" if os.environ.get("EMT_BENCH_S2D") == "1"
                   else "direct")
     try:
         return _measure_vision_inner(anil)
     finally:
         set_conv_impl("direct")
+        set_precision("highest")
 
 
 def _measure_vision_inner(anil: bool) -> float:
@@ -761,7 +765,17 @@ CONFIGS = {
 }
 
 
+# configs that share one baseline measurement share its cache entry (the
+# sequential MuJoCo baselines are minutes each on this 1-core box, and a
+# paired comparison needs ONE denominator, not two noisy ones)
+_BASELINE_ALIAS = {
+    "host_rollout_ant_cpu_policy": "host_rollout_ant",
+    "host_collect_ant_batched_cpu_policy": "host_collect_ant_batched",
+}
+
+
 def _cached_baseline(name: str, fn) -> float:
+    name = _BASELINE_ALIAS.get(name, name)
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:

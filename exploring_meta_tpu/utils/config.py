@@ -59,6 +59,13 @@ class VisionConfig:
         return asdict(self)
 
 
+def anil_vision_defaults() -> VisionConfig:
+    """ANIL-vision script defaults (reference ``vision/anil_vision.py``:
+    outer_lr 0.001, inner_lr 0.1) — shared by scripts/anil_vision.py and
+    the sweep driver so both launch identical configurations."""
+    return VisionConfig(outer_lr=0.001, inner_lr=0.1)
+
+
 def vision_argparser(defaults: VisionConfig,
                      description: str) -> argparse.ArgumentParser:
     force_cpu_if_requested()

@@ -6,12 +6,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from exploring_meta_tpu.utils.config import VisionConfig, vision_argparser
+from exploring_meta_tpu.utils.config import (
+    VisionConfig, anil_vision_defaults, vision_argparser,
+)
 from exploring_meta_tpu.trainers import VisionTrainer
 
 
 def main():
-    defaults = VisionConfig(outer_lr=0.001, inner_lr=0.1)
+    defaults = anil_vision_defaults()
     args = vision_argparser(defaults, "ANIL on Vision").parse_args()
     cfg = VisionConfig(**vars(args))
     VisionTrainer(cfg, anil=True).run()

@@ -43,6 +43,12 @@ def pack_omniglot(src: str, out: str) -> None:
     images = np.zeros((len(class_dirs), n_per, 28, 28, 1), np.uint8)
     for ci, cdir in enumerate(class_dirs):
         files = sorted(glob.glob(os.path.join(cdir, "*.png")))[:n_per]
+        if len(files) < n_per:
+            # never zero-fill: all-black rows would be packed as real
+            # samples and silently corrupt every downstream run
+            raise SystemExit(
+                f"{cdir}: {len(files)} PNGs, expected {n_per} — the "
+                "download is incomplete")
         for si, fp in enumerate(files):
             img = Image.open(fp).convert("L").resize((28, 28),
                                                      Image.LANCZOS)

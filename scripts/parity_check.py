@@ -270,12 +270,19 @@ def run_jax(train_ds, test_ds, iters, meta_batch, inner_lr, outer_lr,
         key, k = jax.random.split(key)
         d, l = tasks.sample_task_batch(k, train_ds, WAYS, SHOTS, meta_batch)
         params, opt_state, m = step(params, opt_state, d, l)
-    accs = []
-    for i in range(max(1, eval_tasks // 32)):
+    # Evaluate EXACTLY eval_tasks tasks (in 32-task compiled batches plus
+    # one remainder batch) so both implementations average over the same
+    # sample size — a rounded count would skew the parity diff.
+    accs, weights = [], []
+    remaining = eval_tasks
+    while remaining > 0:
+        b = min(32, remaining)
         key, k = jax.random.split(key)
-        d, l = tasks.sample_task_batch(k, test_ds, WAYS, SHOTS, 32)
+        d, l = tasks.sample_task_batch(k, test_ds, WAYS, SHOTS, b)
         accs.append(float(ev(params, d, l)["metric"]))
-    return float(np.mean(accs))
+        weights.append(b)
+        remaining -= b
+    return float(np.average(accs, weights=weights))
 
 
 # ---------------------------------------------------------------------------
@@ -461,12 +468,8 @@ def rl_parity(args) -> None:
 
 
 def main():
-    if os.environ.get("EMT_FORCE_CPU") == "1":
-        # Debug/smoke runs off-TPU. The axon sitecustomize pre-imports jax,
-        # but the backend is not initialized yet at script start, so this
-        # still takes effect (same trick as tests/conftest.py).
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    from exploring_meta_tpu.utils.config import force_cpu_if_requested
+    force_cpu_if_requested()  # EMT_FORCE_CPU=1 -> off-TPU smoke runs
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--meta_batch", type=int, default=None)

@@ -34,17 +34,22 @@ def _algos():
     from exploring_meta_tpu.trainers import VisionTrainer
     from exploring_meta_tpu.trainers.rl import RLTrainer
 
+    from exploring_meta_tpu.utils.config import anil_vision_defaults
+
     def vision(anil):
+        # per-algo script defaults, not the bare dataclass: an anil sweep
+        # must launch what N runs of scripts/anil_vision.py would
+        defaults = anil_vision_defaults if anil else VisionConfig
         return (VisionConfig,
                 lambda d: vision_argparser(d, "sweep"),
                 lambda cfg: VisionTrainer(cfg, anil=anil),
-                "test_acc", "valid_acc")
+                "test_acc", "valid_acc", defaults)
 
     def rl(algo, anil):
         return (RLScriptConfig,
                 lambda d: rl_argparser(d, "sweep"),
                 lambda cfg: RLTrainer(cfg, algo=algo, anil=anil),
-                "eval_reward", "adapt_reward")
+                "eval_reward", "adapt_reward", RLScriptConfig)
 
     table = {"maml_vision": vision(False), "anil_vision": vision(True)}
     for a in ("trpo", "ppo", "vpg"):
@@ -62,9 +67,10 @@ def main():
     table = _algos()
     if algo not in table:
         raise SystemExit(f"unknown algo {algo!r}; one of {sorted(table)}")
-    cfg_cls, build_parser, make_trainer, final_key, curve_default = table[algo]
+    (cfg_cls, build_parser, make_trainer, final_key, curve_default,
+     default_cfg) = table[algo]
 
-    p = build_parser(cfg_cls())
+    p = build_parser(default_cfg())
     p.add_argument("--seeds", type=str, default="42,7,123",
                    help="comma-separated seeds to sweep")
     p.add_argument("--metric", type=str, default=curve_default,
