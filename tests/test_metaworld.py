@@ -115,6 +115,22 @@ def test_make_env_ml10_hostvec_rollout(fake_metaworld):
     assert np.all(np.isfinite(np.asarray(traj.reward)))
 
 
+def test_make_env_ml45_routing_and_shared_benchmark(fake_metaworld):
+    """ML45 routes like ML10, and every vec-env slot shares ONE benchmark
+    object (the factory builds it once — benchmark construction parses
+    every class's task pickles, minutes for real ML45 x workers)."""
+    env, is_device = make_env("ML45", workers=3, seed=0, max_path_length=5)
+    assert not is_device and env.n_envs == 3
+    assert env.envs[0].obs_size == env.obs_size
+    benches = {id(e._bench) for e in env.envs}
+    assert len(benches) == 1, "slots built separate benchmarks"
+    # 45 train classes on the train split
+    assert len(env.envs[0]._class_names) == 45
+    tasks = env.sample_tasks(None, 4)
+    assert all(0 <= t["task"] < 45 for t in tasks)
+    env.set_task(tasks[0])
+
+
 def test_make_env_ml1_routing(fake_metaworld):
     env, is_device = make_env("ML1_push", workers=1, seed=0,
                               max_path_length=4)
