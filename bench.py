@@ -45,6 +45,29 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 
 
+def tunnel_up(timeout_s: float | None = None) -> bool:
+    """Probe the remote TPU tunnel from a SUBPROCESS with a hard timeout.
+
+    The axon tunnel's failure mode is an infinite in-process hang inside
+    ``jax.devices()`` (not an exception), which cannot be interrupted once
+    entered — so the probe must live in a child process we can kill. When
+    the tunnel is up the probe costs one jax import + backend init
+    (~15-25 s); when it is down, bounded failure instead of a bench run
+    that never returns (and a driver round with no BENCH artifact at all).
+    """
+    import subprocess
+    import sys
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("EMT_BENCH_PROBE_TIMEOUT", "240"))
+    try:
+        r = subprocess.run([sys.executable, "-c",
+                            "import jax; jax.devices()"],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 # ---------------------------------------------------------------------------
 # torch-CPU reference reproductions (the denominators)
 # ---------------------------------------------------------------------------
@@ -809,6 +832,25 @@ def main():
                         "them all in BENCH_FULL.json; the bare invocation "
                         "keeps the driver's one-line contract")
     args = p.parse_args()
+
+    # EMT_FORCE_CPU=1 routes to the in-process CPU backend (debug/smoke),
+    # same contract as every other CLI (utils/config.py).
+    from exploring_meta_tpu.utils.config import force_cpu_if_requested
+    force_cpu_if_requested()
+
+    # The axon tunnel's failure mode is an unbounded in-process hang, not
+    # an error; a hung bench run leaves the driver round with NO artifact.
+    # Probe from a killable subprocess and fast-fail with an honest error
+    # line (the one-line contract is preserved; value 0 cannot be mistaken
+    # for a measurement).
+    if (os.environ.get("EMT_FORCE_CPU") != "1"
+            and os.environ.get("EMT_BENCH_NO_PROBE") != "1"
+            and not tunnel_up()):
+        cfg = CONFIGS[args.config]
+        print(json.dumps({"metric": cfg["metric"], "value": 0.0,
+                          "unit": cfg["unit"], "vs_baseline": 0.0,
+                          "error": "tpu_tunnel_down"}))
+        return
 
     if args.all:
         results = []

@@ -17,3 +17,13 @@ Reference parity map lives in SURVEY.md at the repo root.
 """
 
 __version__ = "0.1.0"
+
+# ``EMT_FORCE_CPU=1`` must work for plain library imports, not just the
+# CLI scripts (whose argparser builders call this): the remote-TPU
+# tunnel's failure mode is an unbounded hang at first backend use, and
+# the env var alone does nothing — the platform has to be flipped in
+# jax.config before backend initialization.
+from exploring_meta_tpu.utils.config import force_cpu_if_requested as _fcpu
+
+_fcpu()
+del _fcpu

@@ -1,0 +1,61 @@
+"""bench.py tunnel probe: a down tunnel must yield a bounded, honest
+error line — never an unbounded hang (the axon failure mode is a hang
+inside ``jax.devices()``, not an exception; a hung driver bench run
+would leave the round with no BENCH artifact at all)."""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_tunnel_up_true_on_success(monkeypatch):
+    bench = _load_bench()
+
+    class R:
+        returncode = 0
+
+    # tunnel_up imports subprocess locally; patching the stdlib module
+    # object covers it.
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    assert bench.tunnel_up(timeout_s=1) is True
+
+
+def test_tunnel_up_false_on_timeout(monkeypatch):
+    bench = _load_bench()
+
+    def boom(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    assert bench.tunnel_up(timeout_s=1) is False
+
+
+def test_down_tunnel_emits_error_line_fast():
+    """End-to-end: EMT_BENCH_PROBE_TIMEOUT=0.01 kills the probe child
+    before it can even import jax (safe whether or not the real tunnel is
+    up), so bench must print exactly one JSON line flagged with an error
+    and exit 0 — the driver's one-line contract, bounded."""
+    env = dict(os.environ, EMT_BENCH_PROBE_TIMEOUT="0.01")
+    env.pop("EMT_FORCE_CPU", None)
+    env.pop("EMT_BENCH_NO_PROBE", None)
+    out = subprocess.run([sys.executable, BENCH, "--config", "maml_omni"],
+                         capture_output=True, text=True, env=env,
+                         timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec["error"] == "tpu_tunnel_down"
+    assert rec["value"] == 0.0
+    assert rec["metric"] == "maml_omniglot_5w5s_cnn4_meta_train"
