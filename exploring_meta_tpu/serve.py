@@ -41,6 +41,27 @@ def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
+def _next_bucket(B: int, multiple: int = 1) -> int:
+    """Next power-of-two bucket >= B (and a multiple of ``multiple``).
+
+    Each distinct batch shape compiles a fresh XLA program — 20s to
+    minutes through the remote compile service — so variable serving
+    concurrency must land on a small, fixed set of shapes."""
+    b = 1
+    while b < B:
+        b *= 2
+    while b % multiple:
+        b *= 2
+    return b
+
+
+def _pad_leading(tree, pad: int):
+    """Pad every leaf's leading axis by repeating its first slice."""
+    tile = lambda x: jnp.concatenate(
+        [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+    return jax.tree_util.tree_map(tile, tree)
+
+
 class VisionServer:
     """Few-shot classification serving on a meta-trained CNN4.
 
@@ -115,19 +136,7 @@ class VisionServer:
         """Serve one request -> ``(predicted_labels [Q], probs [Q, ways])``."""
         return self._one(self.params, support_x, support_y, query_x)
 
-    @staticmethod
-    def _bucket(B: int, multiple: int = 1) -> int:
-        """Next power-of-two bucket >= B (and a multiple of ``multiple``).
-
-        Each distinct batch shape compiles a fresh XLA program — 20s to
-        minutes through the remote compile service — so variable serving
-        concurrency must land on a small, fixed set of shapes."""
-        b = 1
-        while b < B:
-            b *= 2
-        while b % multiple:
-            b *= 2
-        return b
+    _bucket = staticmethod(_next_bucket)
 
     def batch(self, support_x, support_y, query_x):
         """Serve B concurrent requests (leading axis) as one program.
@@ -176,12 +185,19 @@ class PolicyServer:
     ``sample`` the stochastic one (matches training-time behavior).
     """
 
-    def __init__(self, policy, params, cfg: RLConfig, algo: str = "vpg"):
+    def __init__(self, policy, params, cfg: RLConfig, algo: str = "vpg",
+                 mesh: Mesh | None = None):
         if algo not in ("vpg", "ppo", "trpo"):
             raise ValueError(f"unknown adaptation algorithm {algo!r}")
         self.policy = policy
         self.params = params
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # Meta-params never change between requests — replicate them
+            # onto the mesh ONCE, off the hot path.
+            self._mesh_params = jax.device_put(
+                params, NamedSharding(mesh, P()))
         self._adapt = jax.jit(
             lambda p, traj: single_adapt_step(algo, policy, p, traj, cfg))
         # stacked params in, stacked params out — iterable for multi-step
@@ -193,6 +209,10 @@ class PolicyServer:
         else:                                   # Categorical: argmax logits
             det = lambda p, s: jnp.argmax(policy.logits(p, s), axis=-1)
         self._act = jax.jit(det)
+        # Fleet-serving action fns: one program for n tasks' adapted
+        # params acting on their own observation batches.
+        self._act_stacked = jax.jit(jax.vmap(det))
+        self._sample_stacked = jax.jit(jax.vmap(policy.sample))
 
     def adapt(self, support, steps: int | None = None):
         """-> adapted params after ``steps`` (default ``cfg.adapt_steps``;
@@ -206,12 +226,31 @@ class PolicyServer:
     def adapt_batched(self, support_stack, steps: int | None = None):
         """Adapt to ``n`` tasks at once: ``support_stack`` has a leading
         task axis; -> params stack with the same leading axis. Applies
-        the same ``steps`` budget as :meth:`adapt`."""
+        the same ``steps`` budget as :meth:`adapt`.
+
+        Requests are padded (repeating the first task) up to the next
+        power-of-two bucket so any concurrency level hits one of
+        log2(max_batch) compiled programs; the padding is sliced off.
+        With a ``mesh``, the task axis is additionally GSPMD-sharded over
+        its first axis with meta-params replicated (per-task adaptation
+        is independent — zero collectives on the serving path), and
+        buckets are device-count multiples."""
         n = jax.tree_util.tree_leaves(support_stack)[0].shape[0]
+        bucket = _next_bucket(n, self.mesh.size if self.mesh else 1)
+        pad = bucket - n
+        if pad:
+            support_stack = _pad_leading(support_stack, pad)
+        base = self._mesh_params if self.mesh is not None else self.params
         params = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (n,) + x.shape), self.params)
+            lambda x: jnp.broadcast_to(x, (bucket,) + x.shape), base)
+        if self.mesh is not None:
+            shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            support_stack = jax.device_put(support_stack, shard)
+            params = jax.device_put(params, shard)
         for _ in range(self.cfg.adapt_steps if steps is None else steps):
             params = self._adapt_stacked(params, support_stack)
+        if pad:
+            params = jax.tree_util.tree_map(lambda x: x[:n], params)
         return params
 
     def sample(self, params, key, obs):
@@ -219,3 +258,14 @@ class PolicyServer:
 
     def act(self, params, obs):
         return self._act(params, obs)
+
+    def act_batched(self, params_stack, obs_stack):
+        """Deterministic actions for ``n`` tasks' adapted params on their
+        own ``[n, E, obs]`` observation batches — ONE program for the
+        whole served fleet's control step."""
+        return self._act_stacked(params_stack, obs_stack)
+
+    def sample_batched(self, params_stack, keys, obs_stack):
+        """Stochastic :meth:`act_batched` (training-time behavior);
+        ``keys`` has the task leading axis."""
+        return self._sample_stacked(params_stack, keys, obs_stack)

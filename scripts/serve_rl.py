@@ -43,6 +43,9 @@ def main():
     p.add_argument("--act_steps", type=int, default=200,
                    help="deployment steps to time after adaptation")
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the request axis over an N-device mesh "
+                        "(multi-chip serving; 0 = single device)")
     p.add_argument("--compile_cache", type=str, default="",
                    help="persistent XLA compile cache dir ('' = default "
                         "location, 'off' disables)")
@@ -79,7 +82,11 @@ def main():
     cfg = rl.RLConfig(inner_lr=args.inner_lr, adapt_steps=args.adapt_steps,
                       adapt_batch_size=args.episodes,
                       max_path_length=args.horizon)
-    server = PolicyServer(policy, params, cfg, algo=args.algo)
+    mesh = None
+    if args.mesh:
+        from exploring_meta_tpu.parallel.mesh import make_task_mesh
+        mesh = make_task_mesh(args.mesh, axis="requests")
+    server = PolicyServer(policy, params, cfg, algo=args.algo, mesh=mesh)
 
     # Support collection: one rollout per task (the serving input — in
     # production these arrive from the deployed system's own env steps).

@@ -192,3 +192,45 @@ class TestPolicyServer:
         policy, params, cfg, _ = self._setup()
         with pytest.raises(ValueError):
             PolicyServer(policy, params, cfg, algo="sgd")
+
+    def test_mesh_sharded_adapt_matches(self):
+        """Mesh-sharded adapt_batched == single-device adapt_batched,
+        including a ragged task count (5 on an 8-device mesh: padded up
+        to the bucket, padding sliced off)."""
+        from exploring_meta_tpu.parallel.mesh import make_task_mesh
+        policy, params, cfg, support = self._setup()
+        n = 5
+        stack = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * n), support)
+        plain = PolicyServer(policy, params, cfg, algo="vpg")
+        sharded = PolicyServer(policy, params, cfg, algo="vpg",
+                               mesh=make_task_mesh(8, axis="requests"))
+        a = plain.adapt_batched(stack)
+        b = sharded.adapt_batched(stack)
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            assert x.shape[0] == n and y.shape[0] == n
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6)
+
+    def test_fleet_action_fns(self):
+        """act_batched/sample_batched: one program for n tasks' adapted
+        params acting on their own env batches — per-task actions must
+        match the per-task single act()."""
+        policy, params, cfg, support = self._setup()
+        server = PolicyServer(policy, params, cfg, algo="vpg")
+        stack = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, x]), support)
+        adapted = server.adapt_batched(stack)
+        obs = jnp.arange(2 * 3 * policy.input_size, dtype=jnp.float32
+                         ).reshape(2, 3, policy.input_size) / 10.0
+        fleet = server.act_batched(adapted, obs)
+        assert fleet.shape == (2, 3, policy.output_size)
+        for i in range(2):
+            one = jax.tree_util.tree_map(lambda x: x[i], adapted)
+            np.testing.assert_allclose(np.asarray(fleet[i]),
+                                       np.asarray(server.act(one, obs[i])),
+                                       atol=1e-6)
+        keys = jax.random.split(jax.random.key(9), 2)
+        sto = server.sample_batched(adapted, keys, obs)
+        assert sto.shape == fleet.shape
