@@ -849,7 +849,10 @@ def main():
         cfg = CONFIGS[args.config]
         print(json.dumps({"metric": cfg["metric"], "value": 0.0,
                           "unit": cfg["unit"], "vs_baseline": 0.0,
-                          "error": "tpu_tunnel_down"}))
+                          "error": "tpu_tunnel_down",
+                          "note": "remote TPU unreachable at measurement "
+                                  "time; BENCH_FULL.json holds the last "
+                                  "on-chip measurements"}))
         return
 
     if args.all:
