@@ -838,37 +838,51 @@ def main():
     from exploring_meta_tpu.utils.config import force_cpu_if_requested
     force_cpu_if_requested()
 
+    cpu_forced = os.environ.get("EMT_FORCE_CPU") == "1"
+
     # The axon tunnel's failure mode is an unbounded in-process hang, not
     # an error; a hung bench run leaves the driver round with NO artifact.
     # Probe from a killable subprocess and fast-fail with an honest error
     # line (the one-line contract is preserved; value 0 cannot be mistaken
     # for a measurement).
-    if (os.environ.get("EMT_FORCE_CPU") != "1"
+    if (not cpu_forced
             and os.environ.get("EMT_BENCH_NO_PROBE") != "1"
             and not tunnel_up()):
-        cfg = CONFIGS[args.config]
-        print(json.dumps({"metric": cfg["metric"], "value": 0.0,
-                          "unit": cfg["unit"], "vs_baseline": 0.0,
-                          "error": "tpu_tunnel_down",
-                          "note": "remote TPU unreachable at measurement "
-                                  "time; BENCH_FULL.json holds the last "
-                                  "on-chip measurements"}))
-        return
+        err = {"value": 0.0, "vs_baseline": 0.0,
+               "error": "tpu_tunnel_down",
+               "note": "remote TPU unreachable at measurement time; "
+                       "BENCH_FULL.json holds the last on-chip "
+                       "measurements"}
+        names = sorted(CONFIGS) if args.all else [args.config]
+        for name in names:  # one line per unmeasured config, none recorded
+            print(json.dumps({**({"config": name} if args.all else {}),
+                              "metric": CONFIGS[name]["metric"],
+                              "unit": CONFIGS[name]["unit"], **err}))
+        # --all is our own tooling (chip_queue.sh): exit nonzero so its
+        # queue log shows the failure; the driver's bare invocation keeps
+        # exit 0 with the error line as the artifact.
+        raise SystemExit(1 if args.all else 0)
+
+    # Off-chip smoke runs must never masquerade as chip measurements:
+    # mark every line, and divert --all's artifact away from the on-chip
+    # BENCH_FULL.json record.
+    marker = {"backend": "cpu-forced"} if cpu_forced else {}
 
     if args.all:
         results = []
         for name in sorted(CONFIGS):
             print(f"--- {name}", flush=True)
-            line = {"config": name, **run_config(name)}
+            line = {"config": name, **run_config(name), **marker}
             results.append(line)
             print(json.dumps(line), flush=True)
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json")
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL_cpu.json" if cpu_forced else "BENCH_FULL.json")
         with open(out, "w") as f:
             json.dump(results, f, indent=2)
         return
 
-    print(json.dumps(run_config(args.config)))
+    print(json.dumps({**run_config(args.config), **marker}))
 
 
 if __name__ == "__main__":

@@ -42,7 +42,10 @@ def _cast_tree(tree, dtype):
 
 
 def _next_bucket(B: int, multiple: int = 1) -> int:
-    """Next power-of-two bucket >= B (and a multiple of ``multiple``).
+    """Next power-of-two bucket >= B, rounded up to a multiple of
+    ``multiple`` (device counts need not be powers of two — e.g. a
+    6-device mesh; doubling alone would never reach divisibility by a
+    non-power-of-two and must not be the only growth rule).
 
     Each distinct batch shape compiles a fresh XLA program — 20s to
     minutes through the remote compile service — so variable serving
@@ -50,8 +53,8 @@ def _next_bucket(B: int, multiple: int = 1) -> int:
     b = 1
     while b < B:
         b *= 2
-    while b % multiple:
-        b *= 2
+    if b % multiple:
+        b = -(-b // multiple) * multiple
     return b
 
 
@@ -155,10 +158,8 @@ class VisionServer:
         bucket = self._bucket(B, self.mesh.size if self.mesh else 1)
         pad = bucket - B
         if pad:
-            tile = lambda x: jnp.concatenate(
-                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
-            support_x, support_y, query_x = (
-                tile(support_x), tile(support_y), tile(query_x))
+            support_x, support_y, query_x = _pad_leading(
+                (support_x, support_y, query_x), pad)
         if self.mesh is not None:
             shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
             support_x, support_y, query_x = (
@@ -259,13 +260,34 @@ class PolicyServer:
     def act(self, params, obs):
         return self._act(params, obs)
 
+    def _fleet_call(self, fn, params_stack, *rest):
+        """Shared bucket/shard wrapper for the per-step fleet programs:
+        the control step is the serving hot path, so it gets the same
+        bounded compile-shape set and mesh partitioning as adaptation."""
+        n = jax.tree_util.tree_leaves(params_stack)[0].shape[0]
+        bucket = _next_bucket(n, self.mesh.size if self.mesh else 1)
+        pad = bucket - n
+        if pad:
+            params_stack = _pad_leading(params_stack, pad)
+            rest = tuple(_pad_leading(r, pad) for r in rest)
+        if self.mesh is not None:
+            shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            params_stack = jax.device_put(params_stack, shard)
+            rest = tuple(jax.device_put(r, shard) for r in rest)
+        out = fn(params_stack, *rest)
+        if pad:  # tree_map: Categorical sample returns an (action, info)
+            out = jax.tree_util.tree_map(lambda x: x[:n], out)  # pytree
+        return out
+
     def act_batched(self, params_stack, obs_stack):
         """Deterministic actions for ``n`` tasks' adapted params on their
         own ``[n, E, obs]`` observation batches — ONE program for the
-        whole served fleet's control step."""
-        return self._act_stacked(params_stack, obs_stack)
+        whole served fleet's control step (bucketed, and mesh-sharded
+        over the request axis when the server has a mesh)."""
+        return self._fleet_call(self._act_stacked, params_stack, obs_stack)
 
     def sample_batched(self, params_stack, keys, obs_stack):
         """Stochastic :meth:`act_batched` (training-time behavior);
         ``keys`` has the task leading axis."""
-        return self._sample_stacked(params_stack, keys, obs_stack)
+        return self._fleet_call(self._sample_stacked, params_stack, keys,
+                                obs_stack)

@@ -59,3 +59,25 @@ def test_down_tunnel_emits_error_line_fast():
     assert rec["error"] == "tpu_tunnel_down"
     assert rec["value"] == 0.0
     assert rec["metric"] == "maml_omniglot_5w5s_cnn4_meta_train"
+
+
+def test_down_tunnel_all_mode_labels_every_config():
+    """--all + down tunnel: one error line PER config (none mislabeled as
+    the headline), nonzero exit for chip_queue's log, and the on-chip
+    BENCH_FULL.json record untouched."""
+    bench = _load_bench()
+    repo = os.path.dirname(os.path.abspath(BENCH))
+    full = os.path.join(repo, "BENCH_FULL.json")
+    before = open(full).read() if os.path.exists(full) else None
+    env = dict(os.environ, EMT_BENCH_PROBE_TIMEOUT="0.01")
+    env.pop("EMT_FORCE_CPU", None)
+    env.pop("EMT_BENCH_NO_PROBE", None)
+    out = subprocess.run([sys.executable, BENCH, "--all"],
+                         capture_output=True, text=True, env=env,
+                         timeout=120)
+    assert out.returncode == 1, (out.returncode, out.stderr[-500:])
+    recs = [json.loads(l) for l in out.stdout.splitlines() if l.strip()]
+    assert {r["config"] for r in recs} == set(bench.CONFIGS)
+    assert all(r["error"] == "tpu_tunnel_down" for r in recs)
+    after = open(full).read() if os.path.exists(full) else None
+    assert after == before

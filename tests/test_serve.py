@@ -70,6 +70,10 @@ class TestVisionServer:
         assert VisionServer._bucket(5) == 8 == VisionServer._bucket(7)
         assert VisionServer._bucket(8) == 8
         assert VisionServer._bucket(9, multiple=8) == 16
+        # non-power-of-two device counts must terminate (round up to the
+        # next multiple, not double forever)
+        assert VisionServer._bucket(5, multiple=3) == 9
+        assert VisionServer._bucket(4, multiple=6) == 6
         reqs = [_request(jax.random.key(40 + i)) for i in range(7)]
         bx, by, bq = (jnp.stack([r[i] for r in reqs]) for i in range(3))
         for B in (5, 7):
@@ -219,18 +223,19 @@ class TestPolicyServer:
         match the per-task single act()."""
         policy, params, cfg, support = self._setup()
         server = PolicyServer(policy, params, cfg, algo="vpg")
+        n = 3  # ragged fleet: bucketed up to 4, padding sliced off
         stack = jax.tree_util.tree_map(
-            lambda x: jnp.stack([x, x]), support)
+            lambda x: jnp.stack([x] * n), support)
         adapted = server.adapt_batched(stack)
-        obs = jnp.arange(2 * 3 * policy.input_size, dtype=jnp.float32
-                         ).reshape(2, 3, policy.input_size) / 10.0
+        obs = jnp.arange(n * 3 * policy.input_size, dtype=jnp.float32
+                         ).reshape(n, 3, policy.input_size) / 10.0
         fleet = server.act_batched(adapted, obs)
-        assert fleet.shape == (2, 3, policy.output_size)
-        for i in range(2):
+        assert fleet.shape == (n, 3, policy.output_size)
+        for i in range(n):
             one = jax.tree_util.tree_map(lambda x: x[i], adapted)
             np.testing.assert_allclose(np.asarray(fleet[i]),
                                        np.asarray(server.act(one, obs[i])),
                                        atol=1e-6)
-        keys = jax.random.split(jax.random.key(9), 2)
+        keys = jax.random.split(jax.random.key(9), n)
         sto = server.sample_batched(adapted, keys, obs)
         assert sto.shape == fleet.shape
