@@ -215,6 +215,15 @@ class PolicyServer:
         self._act_stacked = jax.jit(jax.vmap(det))
         self._sample_stacked = jax.jit(jax.vmap(policy.sample))
 
+    @classmethod
+    def from_checkpoint(cls, path: str, policy, cfg: RLConfig, **kwargs):
+        """Load ``model.npz`` / a checkpoint written by the RL trainers
+        (utils/experiment.py contract) and serve it; ``policy`` is the
+        spec the checkpoint was trained with."""
+        from exploring_meta_tpu.utils.experiment import load_params
+        template = policy.init(jax.random.key(0))
+        return cls(policy, load_params(path, template), cfg, **kwargs)
+
     def adapt(self, support, steps: int | None = None):
         """-> adapted params after ``steps`` (default ``cfg.adapt_steps``;
         ``steps=0`` returns the meta-params unchanged) inner updates on

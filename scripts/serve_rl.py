@@ -73,12 +73,6 @@ def main():
         policy = models.DiagNormalPolicy(
             input_size=env.obs_size, output_size=env.action_size,
             activation=args.activation)
-    if args.random_init:
-        params = policy.init(jax.random.key(0))
-    else:
-        from exploring_meta_tpu.utils.experiment import load_params
-        params = load_params(args.checkpoint, policy.init(jax.random.key(0)))
-
     cfg = rl.RLConfig(inner_lr=args.inner_lr, adapt_steps=args.adapt_steps,
                       adapt_batch_size=args.episodes,
                       max_path_length=args.horizon)
@@ -86,7 +80,14 @@ def main():
     if args.mesh:
         from exploring_meta_tpu.parallel.mesh import make_task_mesh
         mesh = make_task_mesh(args.mesh, axis="requests")
-    server = PolicyServer(policy, params, cfg, algo=args.algo, mesh=mesh)
+    if args.random_init:
+        params = policy.init(jax.random.key(0))
+        server = PolicyServer(policy, params, cfg, algo=args.algo,
+                              mesh=mesh)
+    else:
+        server = PolicyServer.from_checkpoint(
+            args.checkpoint, policy, cfg, algo=args.algo, mesh=mesh)
+        params = server.params
 
     # Support collection: one rollout per task (the serving input — in
     # production these arrive from the deployed system's own env steps).

@@ -197,6 +197,20 @@ class TestPolicyServer:
         with pytest.raises(ValueError):
             PolicyServer(policy, params, cfg, algo="sgd")
 
+    def test_from_checkpoint(self, tmp_path):
+        policy, params, cfg, support = self._setup()
+        from exploring_meta_tpu.utils.experiment import flatten_params
+        path = str(tmp_path / "model.npz")
+        np.savez(path, **{k: np.asarray(v)
+                          for k, v in flatten_params(params).items()})
+        loaded = PolicyServer.from_checkpoint(path, policy, cfg, algo="vpg")
+        fresh = PolicyServer(policy, params, cfg, algo="vpg")
+        a = loaded.adapt(support)
+        b = fresh.adapt(support)
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_mesh_sharded_adapt_matches(self):
         """Mesh-sharded adapt_batched == single-device adapt_batched,
         including a ragged task count (5 on an 8-device mesh: padded up
