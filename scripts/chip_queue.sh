@@ -45,6 +45,13 @@ run roofline_omni_bf16 1200 python scripts/roofline.py --config maml_omni --bf16
 run roofline_anil      1200 python scripts/roofline.py --config anil_min --time
 run roofline_anil_bf16 1200 python scripts/roofline.py --config anil_min --bf16 --time
 
+# 4b. phase-time profile of a reference-scale MAML-TRPO run (where do the
+#     ~37 ms/iteration go: collect vs CG/line-search outer?) — the input
+#     for the next RL perf push; phase_times.json lands in the run dir.
+run profile_trpo 2400 python scripts/maml_trpo.py --num_iterations 20 \
+  --meta_batch_size 20 --adapt_batch_size 20 --max_path_length 100 \
+  --n_eval_tasks 10 --save_every 50 --profile
+
 # 5. fused-chunk sweep on the trpo config (is EMT_BENCH_FUSE=10 optimal?)
 run bench_trpo_fuse25 1800 env EMT_BENCH_FUSE=25 python bench.py --config trpo_particles
 # 6. RL bf16 A/B (parity-gated; win/no-win goes to BASELINE.md either way)
