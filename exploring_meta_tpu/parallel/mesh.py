@@ -15,7 +15,6 @@ and replicated; all bandwidth goes to the task axis. The mesh abstraction
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -105,9 +104,6 @@ def make_sharded_train_scan(fast_adapt: Callable,
     Returns ``train(params, opt_state, key, *data) -> (params, opt_state,
     metrics)`` with metrics leaves stacked ``[n_steps]``.
     """
-    n_shards = mesh.shape[axis]
-    del n_shards  # shard count is implicit in pmean; kept for clarity
-
     def local_step(params, opt_state, step_key, *data):
         shard_idx = jax.lax.axis_index(axis)
         if eval_sample_local is None:
@@ -163,7 +159,19 @@ def make_sharded_train_scan(fast_adapt: Callable,
 
 
 def shard_task_batch(mesh: Mesh, task_batch, axis: str = "tasks"):
-    """Place a host task batch with its leading axis sharded over the mesh."""
+    """Place a host task batch with its leading axis sharded over the mesh.
+
+    Raises a friendly error on non-divisible batches here — ``device_put``
+    itself would accept uneven shards and the failure would only surface
+    later as a cryptic ``shard_map`` tracing error inside the sharded
+    step (the fused factories validate at build time; this is the
+    per-iteration paths' equivalent)."""
+    n_shards = mesh.shape[axis]
+    lead = jax.tree_util.tree_leaves(task_batch)[0].shape[0]
+    if lead % n_shards:
+        raise ValueError(
+            f"task batch size {lead} not divisible by mesh axis "
+            f"{axis!r} size {n_shards}")
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), task_batch)
@@ -178,7 +186,6 @@ def _make_local_trpo_outer(policy, cfg, trpo_cfg, adapt_steps: int,
     chip with identical global values. Shared by
     :func:`make_sharded_trpo_meta_step` (per-iteration) and
     :func:`make_sharded_trpo_train_scan` (fused iterations)."""
-    import jax.numpy as jnp
     from jax.flatten_util import ravel_pytree
     from exploring_meta_tpu.ops.cg import conjugate_gradient
     from exploring_meta_tpu.rl.trpo_meta import meta_surrogate_loss
@@ -273,7 +280,7 @@ def make_sharded_trpo_train_scan(env, policy, rollout_fn, cfg, trpo_cfg,
     Returns ``train(params, key) -> (params, metrics)`` with metrics leaves
     stacked ``[n_steps]``; metric values are global (pmean'd) means.
     """
-    from exploring_meta_tpu.rl.adapt_rl import fast_adapt_trpo
+    from exploring_meta_tpu.rl.adapt_rl import trpo_collect_body
 
     n_shards = mesh.shape[axis]
     if meta_batch_size % n_shards != 0:
@@ -283,20 +290,14 @@ def make_sharded_trpo_train_scan(env, policy, rollout_fn, cfg, trpo_cfg,
     local_outer = _make_local_trpo_outer(policy, cfg, trpo_cfg,
                                          cfg.adapt_steps, axis)
 
+    collect = trpo_collect_body(policy, rollout_fn, cfg)
+
     def local_iteration(params, step_key):
         shard_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis))
         k_tasks, k_adapt = jax.random.split(shard_key)
         tasks_batch = env.sample_tasks(k_tasks, local_mb)
         keys = jax.random.split(k_adapt, local_mb)
-
-        def per_task(task, k):
-            adapted, _, replay, m = fast_adapt_trpo(policy, params,
-                                                    rollout_fn, task, k, cfg)
-            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                             *replay)
-            return adapted, stacked, m
-
-        old_params, replays, ms = jax.vmap(per_task)(tasks_batch, keys)
+        old_params, _, replays, ms = collect(params, tasks_batch, keys)
         params, info = local_outer(params, old_params, replays)
         return params, {
             "adapt_reward": jax.lax.pmean(jnp.mean(ms["reward"]), axis),

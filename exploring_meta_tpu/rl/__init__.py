@@ -13,6 +13,7 @@ from exploring_meta_tpu.rl.adapt_rl import (
     trpo_update,
     fast_adapt_trpo,
     make_trpo_collect,
+    trpo_collect_body,
     policy_anil_mask,
     single_adapt_step,
 )
@@ -34,7 +35,7 @@ __all__ = [
     "Trajectory", "rollout", "make_rollout", "RLConfig", "masked_mean",
     "masked_normalize", "traj_advantages", "vpg_a2c_loss", "fast_adapt_vpg",
     "fast_adapt_ppo", "trpo_a2c_loss", "trpo_update", "fast_adapt_trpo",
-    "make_trpo_collect", "single_adapt_step",
+    "make_trpo_collect", "trpo_collect_body", "single_adapt_step",
     "policy_anil_mask", "TRPOConfig", "stack_replays", "meta_surrogate_loss",
     "meta_optimize_trpo", "make_trpo_meta_step", "evaluate", "meta_test",
     "ML10_TRAIN_TASK_NAMES", "ML10_EVAL_TASK_NAMES",

@@ -340,17 +340,15 @@ def fast_adapt_trpo(policy, params, rollout_fn: Callable, task, key,
     return params, valid_loss, replay, _query_metrics(query)
 
 
-def make_trpo_collect(policy, rollout_fn: Callable, cfg: RLConfig):
-    """Jitted vmapped first-order TRPO collection over a task batch
-    (reference rl/maml_trpo.py:102-122: per-task deepcopy + fast_adapt):
+def trpo_collect_body(policy, rollout_fn: Callable, cfg: RLConfig):
+    """UNJITTED vmapped first-order TRPO collection over a task batch:
     ``(params, tasks [B, ...], keys [B]) -> (adapted_params, valid_losses,
     stacked replays [B, steps+1, T, E, ...], query metrics)``.
 
-    The single shared building block behind the trainer iteration
-    (trainers/rl.py), the parity harness (scripts/parity_check.py --rl
-    trpo), the driver dryrun (__graft_entry__) and the tests — so the
-    collection semantics cannot drift between them."""
-    @jax.jit
+    The single shared collection body — :func:`make_trpo_collect` jits it
+    for the eager call sites, and the fused/sharded iteration bodies
+    (rl/train_scan.py, parallel/mesh.py) inline it inside their scans —
+    so the collection semantics cannot drift between any of them."""
     def collect(params, tasks_batch, keys):
         def per_task(task, k):
             adapted, loss, replay, m = fast_adapt_trpo(
@@ -360,3 +358,12 @@ def make_trpo_collect(policy, rollout_fn: Callable, cfg: RLConfig):
             return adapted, loss, stacked, m
         return jax.vmap(per_task)(tasks_batch, keys)
     return collect
+
+
+def make_trpo_collect(policy, rollout_fn: Callable, cfg: RLConfig):
+    """Jitted :func:`trpo_collect_body` (reference rl/maml_trpo.py:102-122:
+    per-task deepcopy + fast_adapt) — the trainer iteration
+    (trainers/rl.py), the parity harness (scripts/parity_check.py --rl
+    trpo), the driver dryrun (__graft_entry__) and the tests all call
+    this."""
+    return jax.jit(trpo_collect_body(policy, rollout_fn, cfg))

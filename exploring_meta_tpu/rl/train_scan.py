@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from exploring_meta_tpu.rl.adapt_rl import (
     RLConfig, fast_adapt_ppo, fast_adapt_trpo, fast_adapt_vpg,
+    trpo_collect_body,
 )
 from exploring_meta_tpu.rl.trpo_meta import TRPOConfig, meta_optimize_trpo
 
@@ -31,19 +32,13 @@ def make_trpo_train_scan(env, policy, rollout_fn, cfg: RLConfig,
     CG/line-search outer step) in one program; metrics leaves are stacked
     ``[n_steps]``."""
 
+    collect = trpo_collect_body(policy, rollout_fn, cfg)
+
     def one_iteration(params, key):
         k_tasks, k_adapt = jax.random.split(key)
         tasks_batch = env.sample_tasks(k_tasks, meta_batch_size)
         keys = jax.random.split(k_adapt, meta_batch_size)
-
-        def per_task(task, k):
-            adapted, _, replay, m = fast_adapt_trpo(policy, params,
-                                                    rollout_fn, task, k, cfg)
-            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                             *replay)
-            return adapted, stacked, m
-
-        old_params, replays, ms = jax.vmap(per_task)(tasks_batch, keys)
+        old_params, _, replays, ms = collect(params, tasks_batch, keys)
         params, info = meta_optimize_trpo(policy, params, old_params,
                                           replays, cfg, trpo_cfg,
                                           cfg.adapt_steps)

@@ -20,6 +20,15 @@ def _setup(meta_batch):
     return params, fa, data, labels
 
 
+def test_shard_task_batch_rejects_non_divisible(eight_devices):
+    """Friendly ValueError up front — device_put would accept uneven
+    shards and fail later with a cryptic shard_map tracing error."""
+    import pytest
+    mesh = parallel.make_task_mesh(8)
+    with pytest.raises(ValueError, match="not divisible"):
+        parallel.shard_task_batch(mesh, jnp.zeros((6, 3)))
+
+
 def test_sharded_meta_step_matches_single_device(eight_devices):
     params, fa, data, labels = _setup(meta_batch=8)
     opt = optax.sgd(0.1)
