@@ -142,6 +142,15 @@ class DiagNormalPolicyANIL(NamedTuple):
     compute_dtype: str = "f32"
 
     def init(self, key) -> dict:
+        if self.fc_neurons != self.hiddens[-1]:
+            # The reference's Linear(fc_neurons, out) head silently
+            # mismatches its hardcoded [100, 100] body for any other
+            # value and dies in the first forward; fail at init with the
+            # actual constraint instead.
+            raise ValueError(
+                f"fc_neurons={self.fc_neurons} must equal the body's "
+                f"output width hiddens[-1]={self.hiddens[-1]} "
+                f"(pass hiddens=(100, fc_neurons))")
         kb, kh = jax.random.split(key)
         sizes = (self.input_size,) + tuple(self.hiddens)
         return {

@@ -37,6 +37,12 @@ def drive_fused_chunks(*, total: int, fuse: int, save_every: int, key,
         n = min(fuse, total - it)
         key, k = jax.random.split(key)
         state, ms = run_chunk(n, state, k)
+        # ONE device->host transfer per metric leaf: the log/postfix
+        # callbacks index scalars out of every leaf (O(metrics x fuse)
+        # fetches), and on the tunneled runtime each fetch is a full
+        # round-trip — per-chunk logging latency would scale with fuse,
+        # re-introducing the host round-trips --fuse exists to remove.
+        ms = jax.device_get(ms)
         for j in range(n):
             log_step(ms, j)
         it += n

@@ -50,9 +50,16 @@ def build_policy(env, anil: bool, fc_neurons: int = 100,
     policy's body is tanh by construction, reference ``policies.py:79-85``,
     so the knob applies to the plain DiagNormalPolicy only)."""
     if anil:
+        # Tie the body's output width to the head's input width: the
+        # reference builds body hiddens=[100,100] regardless of
+        # fc_neurons (policies.py:74-88), so any fc_neurons != 100
+        # crashes there — here the knob actually works (fc_neurons is
+        # the width of the features the ANIL head adapts on; the default
+        # reproduces the reference's (100, 100) body exactly).
         return DiagNormalPolicyANIL(input_size=env.obs_size,
                                     output_size=env.action_size,
-                                    fc_neurons=fc_neurons)
+                                    fc_neurons=fc_neurons,
+                                    hiddens=(100, fc_neurons))
     return DiagNormalPolicy(input_size=env.obs_size,
                             output_size=env.action_size,
                             activation=activation)
@@ -72,7 +79,7 @@ class RLTrainer(Experiment):
         self.ckpt_backend = getattr(cfg, "ckpt_backend", "npz")
         self._timer = PhaseTimer() if cfg.profile else None
         self._fused_params = None
-        self._fused_iteration = 0
+        self._fused_count = 0  # iterations fully completed (fused path)
 
     def _ph(self, name: str):
         """Profiling phase context (no-op list sink when profiling is off)."""
@@ -195,8 +202,10 @@ class RLTrainer(Experiment):
         except (KeyboardInterrupt, DivergenceError) as stop:
             if use_fused:
                 # the helper tracks completed-chunk progress on self; the
-                # local `iteration` is only set on normal return
-                iteration = self._fused_iteration
+                # local `iteration` is only set on normal return. The
+                # COUNT of completed iterations matches the non-fused
+                # path's in-flight index (= rows in metrics.json).
+                iteration = self._fused_count
                 if self._fused_params is not None:
                     params = self._fused_params
             # `key` may still be the pre-loop key here (the fused loop
@@ -239,14 +248,12 @@ class RLTrainer(Experiment):
         (KeyboardInterrupt-safe: updated after every chunk)."""
         cfg = self.cfg
         self._fused_params = params
-        self._fused_iteration = start
+        self._fused_count = start
         scans: dict = {}  # chunk length -> compiled program (<=2 entries)
         opt = self._opt
         if opt is not None and opt_state is None:
             opt_state = opt.init(params)
-        trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
-                                 ls_max_steps=cfg.ls_max_steps,
-                                 backtrack_factor=cfg.backtrack_factor)
+        trpo_cfg = self._trpo_cfg()
 
         mesh = None
         if getattr(cfg, "mesh", 1) > 1:
@@ -291,7 +298,7 @@ class RLTrainer(Experiment):
 
         def on_chunk(state, iteration):
             self._fused_params = state[0]
-            self._fused_iteration = iteration
+            self._fused_count = iteration + 1
 
         (params, opt_state), iteration, key = drive_fused_chunks(
             total=cfg.num_iterations, fuse=cfg.fuse,
@@ -310,13 +317,19 @@ class RLTrainer(Experiment):
 
     # -- TRPO outer step ---------------------------------------------------
 
+    def _trpo_cfg(self) -> "rl.TRPOConfig":
+        """One construction site for the outer-step hyperparameters so the
+        fused and per-iteration paths cannot drift."""
+        cfg = self.cfg
+        return rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
+                             ls_max_steps=cfg.ls_max_steps,
+                             backtrack_factor=cfg.backtrack_factor)
+
     def _make_trpo_meta_step(self, policy, rl_cfg):
         """The (optionally mesh-sharded, ``--mesh N``) TRPO outer step:
         ``(params, old_params_stack, replays) -> (params, info)``."""
         cfg = self.cfg
-        trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
-                                 ls_max_steps=cfg.ls_max_steps,
-                                 backtrack_factor=cfg.backtrack_factor)
+        trpo_cfg = self._trpo_cfg()
         if getattr(cfg, "mesh", 1) > 1:
             # Replays are placed task-sharded across chips; the 2nd-order
             # surrogate/CG/line search runs task-DP with pmean over ICI

@@ -99,6 +99,7 @@ class VisionTrainer(Experiment):
         t = trange(start_iteration, cfg.num_iterations,
                    initial=start_iteration, total=cfg.num_iterations)
         iteration = start_iteration
+        completed = start_iteration  # fused-path interrupt bookkeeping
         trace_ctx = (device_trace(cfg.trace) if getattr(cfg, "trace", "")
                      else contextlib.nullcontext())
         try:
@@ -153,9 +154,12 @@ class VisionTrainer(Experiment):
                     return (p, o), ms
 
                 def track(state, i):
-                    nonlocal params, opt_state, iteration
+                    # `completed` is the COUNT of finished iterations so
+                    # the interrupt path records the same value the
+                    # non-fused in-flight index would (= metrics rows).
+                    nonlocal params, opt_state, completed
                     params, opt_state = state
-                    iteration = i
+                    completed = i + 1
 
                 (params, opt_state), iteration, key = drive_fused_chunks(
                     total=cfg.num_iterations, fuse=cfg.fuse,
@@ -215,7 +219,8 @@ class VisionTrainer(Experiment):
             # splitting it for the final meta-test would reproduce
             # training chunk 1's stream
             key = jax.random.fold_in(key, 0x5eed)
-            self.mark_stopped(stop, iteration)
+            self.mark_stopped(stop,
+                              completed if cfg.fuse > 1 else iteration)
 
         self.flush_checkpoints()
         self.save_model(params)

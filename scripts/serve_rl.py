@@ -68,7 +68,8 @@ def main():
     if args.anil:
         policy = models.DiagNormalPolicyANIL(
             input_size=env.obs_size, output_size=env.action_size,
-            fc_neurons=args.fc_neurons)
+            fc_neurons=args.fc_neurons,
+            hiddens=(100, args.fc_neurons))
     else:
         policy = models.DiagNormalPolicy(
             input_size=env.obs_size, output_size=env.action_size,

@@ -300,6 +300,38 @@ class TestTrainScan:
         assert m["loss"].shape == (K,)
 
 
+def test_fused_interrupt_count_matches_logged_rows():
+    """Interrupt during chunk 2: the on_chunk count the trainers record
+    into logger num_iterations must equal the metrics rows logged — the
+    same value the non-fused in-flight index yields (was off by one)."""
+    from exploring_meta_tpu.trainers.fused import drive_fused_chunks
+
+    rows, completed = [], {"n": 0}
+
+    class FakeBar:
+        def update(self, n):
+            pass
+
+        def set_postfix(self, d):
+            pass
+
+    def run_chunk(n, state, k):
+        if state["calls"] >= 1:   # 2nd chunk: interrupt inside the program
+            raise KeyboardInterrupt
+        return {"calls": state["calls"] + 1}, {
+            "loss": np.arange(n, dtype=np.float32)}
+
+    with pytest.raises(KeyboardInterrupt):
+        drive_fused_chunks(
+            total=10, fuse=5, save_every=100, key=jax.random.key(0),
+            state={"calls": 0}, run_chunk=run_chunk,
+            log_step=lambda ms, j: rows.append(float(ms["loss"][j])),
+            postfix=lambda ms: {}, save_ckpt=lambda *a: None,
+            progress=FakeBar(),
+            on_chunk=lambda state, i: completed.update(n=i + 1))
+    assert completed["n"] == len(rows) == 5
+
+
 @pytest.mark.slow
 class TestFusedTrainer:
     def test_fused_trainer_metrics_and_checkpoints(self, tmp_path,

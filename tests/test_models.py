@@ -181,6 +181,28 @@ class TestPolicies:
         _, scale = policy.density(params, jnp.zeros((1, 3)))
         np.testing.assert_allclose(np.asarray(scale), 1e-6, rtol=1e-4)
 
+    def test_anil_fc_neurons_mismatch_raises(self):
+        """fc_neurons must equal the body output width — the reference's
+        Linear(fc_neurons, out) vs hardcoded [100, 100] body dies with a
+        shape error deep in the first forward; we fail at init with the
+        constraint spelled out."""
+        import pytest
+        bad = models.DiagNormalPolicyANIL(input_size=4, output_size=2,
+                                          fc_neurons=64)
+        with pytest.raises(ValueError, match="fc_neurons"):
+            bad.init(jax.random.key(0))
+
+    def test_build_policy_nondefault_fc_neurons_works(self):
+        """The trainers make the knob real: build_policy ties the body
+        width to fc_neurons so any value trains."""
+        from exploring_meta_tpu.envs import Particles2D
+        from exploring_meta_tpu.trainers.rl import build_policy
+        policy = build_policy(Particles2D(), anil=True, fc_neurons=32)
+        params = policy.init(jax.random.key(0))
+        loc, scale = policy.density(params, jnp.zeros((3, 2)))
+        assert loc.shape == (3, 2)
+        assert params["head"]["w"].shape[0] == 32
+
     def test_anil_stop_body_grad(self):
         policy = models.DiagNormalPolicyANIL(input_size=4, output_size=2)
         params = policy.init(jax.random.key(0))
