@@ -14,6 +14,17 @@ Usage:
         [any maml_vision flags: --synthetic --num_iterations 100 ...]
     python scripts/sweep.py maml_trpo --seeds 42,7 --metric adapt_reward \
         [any RL trainer flags]
+
+``--vmap_seeds`` collapses the sweep to ONE XLA program: all seeds train
+simultaneously via ``vmap`` over the fused train scans
+(parallel/multiseed.py) — the TPU-native end state of the reference's
+one-process-per-seed workflow. Available for the vision algos and the
+device-env RL algos; with ``--mesh N`` the SEED axis shards over the
+mesh (independent seeds, zero collectives). Differences from the serial
+path, by construction: seeds share one dataset instance (sampled with
+the base ``--seed``), run dirs hold metrics + final model only (no
+checkpoint cadence / resume), and the post-training meta-test draws
+from a fresh fold of each seed's key stream.
 """
 
 import json
@@ -58,6 +69,159 @@ def _algos():
     return table
 
 
+def _seed_run_dirs(sweep_dir, algo, seeds, metrics_per_seed, params_stack,
+                   finals, final_key):
+    """Write one minimal run dir per seed (metrics.json in the Experiment
+    contract + final model.npz) so every downstream tool — the band
+    plotter, eval scripts, ``VisionServer.from_checkpoint`` — works on
+    vmapped sweeps unchanged."""
+    import numpy as np
+
+    import jax
+    from exploring_meta_tpu.utils.experiment import flatten_params
+
+    runs = []
+    for i, seed in enumerate(seeds):
+        d = os.path.join(sweep_dir, f"vmap_{algo}", f"seed{seed}")
+        os.makedirs(d, exist_ok=True)
+        ms = {k: [float(v) for v in np.asarray(vals[i])]
+              for k, vals in metrics_per_seed.items()}
+        ms[final_key] = [finals[i]]
+        with open(os.path.join(d, "metrics.json"), "w") as f:
+            json.dump(ms, f)
+        p_i = jax.tree.map(lambda x: np.asarray(x[i]), params_stack)
+        np.savez(os.path.join(d, "model.npz"), **flatten_params(p_i))
+        runs.append({"seed": seed, "run_dir": d, final_key: finals[i]})
+    return runs
+
+
+def _vmapped_vision(cfg, anil, seeds, mesh):
+    """All-seeds-in-one-program vision sweep. -> (metrics dict with
+    leaves [S, num_iterations], params_stack, per-seed test accs)."""
+    import jax
+    import optax
+
+    from exploring_meta_tpu import adapt, models, parallel, tasks
+    from exploring_meta_tpu.models.layers import set_conv_impl
+    from exploring_meta_tpu.trainers.vision import _build_spec
+
+    train_ds, valid_ds, test_ds = tasks.get_dataset(
+        cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
+    set_conv_impl(cfg.conv_impl)
+    spec = _build_spec(cfg, anil)
+    fast_adapt = adapt.make_vision_fast_adapt(
+        spec, inner_lr=cfg.inner_lr, adapt_steps=cfg.adapt_steps,
+        shots=cfg.shots, ways=cfg.ways, anil=anil)
+    if cfg.bf16:
+        fast_adapt = adapt.cast_compute(fast_adapt)
+    opt = optax.adam(cfg.outer_lr)
+    mb = cfg.meta_batch_size
+
+    def sample_train(k, tr_imgs, va_imgs):
+        return tasks.sample_task_batch(
+            k, train_ds._replace(images=tr_imgs), cfg.ways, cfg.shots, mb)
+
+    def sample_valid(k, tr_imgs, va_imgs):
+        return tasks.sample_task_batch(
+            k, valid_ds._replace(images=va_imgs), cfg.ways, cfg.shots, mb)
+
+    train = adapt.make_train_scan(fast_adapt, opt, sample_train,
+                                  cfg.num_iterations,
+                                  eval_sample_fn=sample_valid)
+    params, opt_state, keys = parallel.stack_seed_states(
+        lambda ik: models.init_cnn4(ik, spec), seeds, opt)
+    sweep = parallel.vmap_seeds(train, 3, 2, mesh=mesh)
+    params, opt_state, ms = sweep(params, opt_state, keys,
+                                  train_ds.images, valid_ds.images)
+
+    # Per-seed meta-test on the test split, one vmapped program (fresh
+    # fold of each seed's carry key — the scan consumed the key itself).
+    meta_eval = adapt.make_meta_eval(fast_adapt)
+    test_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x7e57))(keys)
+    t_batch = jax.vmap(lambda k: tasks.sample_task_batch(
+        k, test_ds, cfg.ways, cfg.shots, mb))(test_keys)
+    test_m = jax.vmap(lambda p, d, l: meta_eval(p, d, l))(params, *t_batch)
+    finals = [float(v) for v in test_m["metric"]]
+    metrics = {"train_loss": ms["loss"], "train_acc": ms["metric"],
+               "valid_loss": ms["valid_loss"],
+               "valid_acc": ms["valid_metric"]}
+    return metrics, params, finals
+
+
+def _vmapped_rl(cfg, algo, anil, seeds, mesh):
+    """All-seeds-in-one-program device-env RL sweep. -> (metrics
+    [S, num_iterations], params_stack, per-seed eval rewards)."""
+    import jax
+    import optax
+
+    from exploring_meta_tpu import parallel, rl
+    from exploring_meta_tpu.trainers.rl import build_policy, make_device_env
+
+    try:
+        env = make_device_env(cfg.env)
+    except ValueError as e:
+        raise SystemExit(f"--vmap_seeds: {e}")
+    policy = build_policy(env, anil, fc_neurons=cfg.fc_neurons,
+                          activation=cfg.activation)
+    if cfg.bf16:
+        policy = policy._replace(compute_dtype="bf16")
+    rl_cfg = rl.RLConfig(
+        inner_lr=cfg.inner_lr, gamma=cfg.gamma, tau=cfg.tau,
+        adapt_steps=cfg.adapt_steps, adapt_batch_size=cfg.adapt_batch_size,
+        max_path_length=cfg.max_path_length, ppo_epochs=cfg.ppo_epochs,
+        ppo_clip_ratio=cfg.ppo_clip_ratio, anil=anil)
+    roll = rl.make_rollout(env, policy.sample, episodes=cfg.adapt_batch_size,
+                           horizon=cfg.max_path_length)
+    if algo == "trpo":
+        trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
+                                 ls_max_steps=cfg.ls_max_steps,
+                                 backtrack_factor=cfg.backtrack_factor)
+        train = rl.make_trpo_train_scan(env, policy, roll, rl_cfg, trpo_cfg,
+                                        cfg.meta_batch_size,
+                                        cfg.num_iterations)
+        params, _, keys = parallel.stack_seed_states(policy.init, seeds)
+        params, ms = parallel.vmap_seeds(train, 2, mesh=mesh)(params, keys)
+    else:
+        opt = optax.adam(cfg.outer_lr)
+        train = rl.make_adam_train_scan(env, policy, roll, rl_cfg, opt, algo,
+                                        cfg.meta_batch_size,
+                                        cfg.num_iterations)
+        params, opt_state, keys = parallel.stack_seed_states(
+            policy.init, seeds, opt)
+        params, _, ms = parallel.vmap_seeds(train, 3, mesh=mesh)(
+            params, opt_state, keys)
+
+    # Post-training meta-test per seed (rl.meta_test drives a fresh
+    # test-split env from the host — cheap next to training).
+    finals = []
+    for i, seed in enumerate(seeds):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        ek = jax.random.fold_in(keys[i], 0x7e57)
+        final = rl.meta_test(algo, cfg.env, policy, p_i, rl_cfg,
+                             n_tasks=cfg.n_eval_tasks, key=ek, seed=seed)
+        finals.append(float(final["mean_reward"]))
+    return dict(ms), params, finals
+
+
+def run_vmapped(algo, base_cfg, seeds, sweep_dir, final_key):
+    """One-XLA-program sweep dispatch. -> runs list (sweep.py contract)."""
+    from exploring_meta_tpu import parallel
+
+    mesh = (parallel.make_task_mesh(base_cfg.mesh, axis="seeds")
+            if getattr(base_cfg, "mesh", 1) > 1 else None)
+    if algo in ("maml_vision", "anil_vision"):
+        metrics, params, finals = _vmapped_vision(
+            base_cfg, algo.startswith("anil"), seeds, mesh)
+    else:
+        metrics, params, finals = _vmapped_rl(
+            base_cfg, algo.split("_")[1], algo.startswith("anil"), seeds,
+            mesh)
+    for seed, final in zip(seeds, finals):
+        print(f"seed {seed}: {final_key} = {final:.4f}")
+    return _seed_run_dirs(sweep_dir, algo, seeds, metrics, params, finals,
+                          final_key)
+
+
 def main():
     if len(sys.argv) < 2 or sys.argv[1].startswith("-"):
         raise SystemExit(
@@ -77,16 +241,25 @@ def main():
                    help="per-iteration metric for the confidence band")
     p.add_argument("--sweep_dir", type=str, default="sweeps",
                    help="where the summary + plot land")
+    p.add_argument("--vmap_seeds", action="store_true",
+                   help="train ALL seeds in one vmapped XLA program "
+                        "(vision + device-env RL; --mesh N shards the "
+                        "seed axis)")
     args = p.parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
     if not seeds:
         raise SystemExit(f"--seeds {args.seeds!r}: no seeds given")
     trainer_fields = {k: v for k, v in vars(args).items()
-                      if k not in ("seeds", "metric", "sweep_dir")}
+                      if k not in ("seeds", "metric", "sweep_dir",
+                                   "vmap_seeds")}
     base_cfg = cfg_cls(**trainer_fields)
 
-    runs = []
-    for seed in seeds:
+    if args.vmap_seeds:
+        os.makedirs(args.sweep_dir, exist_ok=True)
+        runs = run_vmapped(algo, base_cfg, seeds, args.sweep_dir, final_key)
+    else:
+      runs = []
+      for seed in seeds:
         print(f"=== sweep seed {seed} ===")
         trainer = make_trainer(replace(base_cfg, seed=seed))
         result = trainer.run()
@@ -105,6 +278,7 @@ def main():
     std = (sum((f - mean) ** 2 for f in finals) / max(n - 1, 1)) ** 0.5
     summary = {"algo": algo, "metric": final_key, "seeds": seeds,
                "runs": runs, "mean": mean, "std": std,
+               "vmapped": bool(args.vmap_seeds),
                "config": base_cfg.to_params()}
 
     # Write the aggregate FIRST — the training results must survive any
