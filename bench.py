@@ -714,6 +714,67 @@ def _measure_host_collect(task_batched: bool,
     return steps_per_pass / (time.perf_counter() - t0)
 
 
+def _multiseed_setup(n_seeds: int, n_steps: int):
+    """S-seed MAML-TRPO sweep pieces on Particles2D (one fused scan per
+    seed; parallel/multiseed.py stacks them into one program)."""
+    import jax
+    from exploring_meta_tpu import parallel, rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    MB, EPS, H = 10, 10, 50
+    env = Particles2D()
+    policy = DiagNormalPolicy(input_size=env.obs_size,
+                              output_size=env.action_size)
+    cfg = rl.RLConfig(inner_lr=0.05, adapt_steps=1, adapt_batch_size=EPS,
+                      max_path_length=H)
+    roll = rl.make_rollout(env, policy.sample, episodes=EPS, horizon=H)
+    train = rl.make_trpo_train_scan(env, policy, roll, cfg, rl.TRPOConfig(),
+                                    MB, n_steps)
+    params, _, keys = parallel.stack_seed_states(policy.init,
+                                                 list(range(n_seeds)))
+    return train, params, keys
+
+
+def measure_multiseed_vmapped() -> float:
+    """Whole-sweep-as-one-program throughput: S seeds of fused MAML-TRPO
+    training vmapped into ONE XLA program (sweep --vmap_seeds) ->
+    seed-iterations/sec. vs_baseline divides by the serial per-seed loop
+    over the SAME fused scan — the strongest honest baseline — so the
+    ratio isolates what batching the seed axis buys."""
+    import jax
+    from exploring_meta_tpu import parallel
+
+    S, STEPS = 4, 3
+    train, params, keys = _multiseed_setup(S, STEPS)
+    sweep = parallel.vmap_seeds(train, 2)
+    p, _ = sweep(params, keys)                        # compile
+    float(jax.tree_util.tree_leaves(p)[0].sum())
+    reps, t0 = 3, time.perf_counter()
+    for _ in range(reps):
+        p, _ = sweep(params, keys)
+    float(jax.tree_util.tree_leaves(p)[0].sum())      # ground-truth fetch
+    return S * STEPS * reps / (time.perf_counter() - t0)
+
+
+def measure_multiseed_serial() -> float:
+    """Baseline: the same S seeds through the same fused scan, one seed
+    at a time (scripts/sweep.py's serial in-process mode)."""
+    import jax
+
+    S, STEPS = 4, 3
+    train, params, keys = _multiseed_setup(S, STEPS)
+    one = jax.tree_util.tree_map(lambda x: x[0], params)
+    p, _ = train(one, keys[0])                        # compile
+    float(jax.tree_util.tree_leaves(p)[0].sum())
+    t0 = time.perf_counter()
+    for i in range(S):
+        p, _ = train(jax.tree_util.tree_map(lambda x: x[i], params),
+                     keys[i])
+        float(jax.tree_util.tree_leaves(p)[0].sum())
+    return S * STEPS / (time.perf_counter() - t0)
+
+
 def measure_host_collect_batched() -> float:
     return _measure_host_collect(task_batched=True)
 
@@ -785,6 +846,12 @@ CONFIGS = {
         "measure": measure_serve_rl_batched,
         "baseline": measure_serve_rl_sequential,
     },
+    "multiseed_trpo": {
+        "metric": "maml_trpo_4seed_sweep_vmapped",
+        "unit": "seed_iterations/sec",
+        "measure": measure_multiseed_vmapped,
+        "baseline": measure_multiseed_serial,
+    },
 }
 
 
@@ -796,9 +863,19 @@ _BASELINE_ALIAS = {
     "host_collect_ant_batched_cpu_policy": "host_collect_ant_batched",
 }
 
+# Baselines that are pure torch-CPU reproductions measure the same thing
+# on any backend; every other baseline touches the JAX backend (serving
+# loops, host rollouts with on-device policy, the serial sweep), so an
+# EMT_FORCE_CPU smoke run must not cache a CPU denominator that a later
+# on-chip run would silently divide by (or vice versa).
+_TORCH_BASELINES = {"maml_omni", "anil_min", "trpo_particles"}
+
 
 def _cached_baseline(name: str, fn) -> float:
     name = _BASELINE_ALIAS.get(name, name)
+    if (name not in _TORCH_BASELINES
+            and os.environ.get("EMT_FORCE_CPU") == "1"):
+        name = name + "@cpu"
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:

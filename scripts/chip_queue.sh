@@ -52,6 +52,14 @@ run profile_trpo 2400 python scripts/maml_trpo.py --num_iterations 20 \
   --meta_batch_size 20 --adapt_batch_size 20 --max_path_length 100 \
   --n_eval_tasks 10 --save_every 50 --profile
 
+# 4c. multi-seed sweep as one vmapped program (sweep --vmap_seeds):
+#     seed-iterations/sec vs the serial per-seed loop over the same
+#     fused scan; on 1-core CPU the ratio is 1.03x — the chip gap
+#     (MXU under-fill at per-seed batch sizes) is the point.
+#     NOTE: bench_all above also covers this config; this standalone run
+#     is the fallback if bench_all times out partway.
+run bench_multiseed 1800 python bench.py --config multiseed_trpo
+
 # 5. fused-chunk sweep on the trpo config (is EMT_BENCH_FUSE=10 optimal?)
 run bench_trpo_fuse25 1800 env EMT_BENCH_FUSE=25 python bench.py --config trpo_particles
 # 6. RL bf16 A/B (parity-gated; win/no-win goes to BASELINE.md either way)
