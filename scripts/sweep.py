@@ -70,11 +70,13 @@ def _algos():
 
 
 def _seed_run_dirs(sweep_dir, algo, seeds, metrics_per_seed, params_stack,
-                   finals, final_key):
-    """Write one minimal run dir per seed (metrics.json in the Experiment
-    contract + final model.npz) so every downstream tool — the band
-    plotter, eval scripts, ``VisionServer.from_checkpoint`` — works on
-    vmapped sweeps unchanged."""
+                   finals, final_key, trainer_algo, dataset, base_cfg):
+    """Write one run dir per seed (metrics.json + logger.json in the
+    Experiment contract + final model.npz) so every downstream tool —
+    the band plotter, ``scripts/eval_{vision,rl}.py``, the servers'
+    ``from_checkpoint`` — works on vmapped sweeps unchanged.
+    ``trainer_algo``/``dataset`` are the names the real trainer would
+    stamp (eval scripts parse algo prefixes and the dataset field)."""
     import numpy as np
 
     import jax
@@ -89,6 +91,11 @@ def _seed_run_dirs(sweep_dir, algo, seeds, metrics_per_seed, params_stack,
         ms[final_key] = [finals[i]]
         with open(os.path.join(d, "metrics.json"), "w") as f:
             json.dump(ms, f)
+        config = {**base_cfg.to_params(), "algo": trainer_algo,
+                  "dataset": dataset, "seed": seed}
+        with open(os.path.join(d, "logger.json"), "w") as f:
+            json.dump({"config": config, "vmapped_sweep": True,
+                       final_key: finals[i]}, f, indent=4, default=str)
         p_i = jax.tree.map(lambda x: np.asarray(x[i]), params_stack)
         np.savez(os.path.join(d, "model.npz"), **flatten_params(p_i))
         runs.append({"seed": seed, "run_dir": d, final_key: finals[i]})
@@ -209,17 +216,21 @@ def run_vmapped(algo, base_cfg, seeds, sweep_dir, final_key):
 
     mesh = (parallel.make_task_mesh(base_cfg.mesh, axis="seeds")
             if getattr(base_cfg, "mesh", 1) > 1 else None)
+    prefix = "anil" if algo.startswith("anil") else "maml"
     if algo in ("maml_vision", "anil_vision"):
         metrics, params, finals = _vmapped_vision(
             base_cfg, algo.startswith("anil"), seeds, mesh)
+        trainer_algo = f"{prefix}_{base_cfg.ways}w{base_cfg.shots}s"
+        dataset = base_cfg.dataset
     else:
         metrics, params, finals = _vmapped_rl(
             base_cfg, algo.split("_")[1], algo.startswith("anil"), seeds,
             mesh)
+        trainer_algo, dataset = algo, base_cfg.env
     for seed, final in zip(seeds, finals):
         print(f"seed {seed}: {final_key} = {final:.4f}")
     return _seed_run_dirs(sweep_dir, algo, seeds, metrics, params, finals,
-                          final_key)
+                          final_key, trainer_algo, dataset, base_cfg)
 
 
 def main():

@@ -161,6 +161,12 @@ def test_sweep_script_vmapped_vision(tmp_path, monkeypatch):
     p = load_params(os.path.join(run0, "model.npz"), template)
     assert jax.tree_util.tree_structure(p) \
         == jax.tree_util.tree_structure(template)
+    # and the offline eval driver accepts the run dir (logger.json
+    # carries a trainer-compatible config)
+    from exploring_meta_tpu.analysis import eval_vision
+    out = eval_vision.run(run0, n_eval_batches=1, run_cl=False,
+                          run_rc=False, synthetic=True)
+    assert np.isfinite(out["test_acc"])
 
 
 @pytest.mark.slow
