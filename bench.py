@@ -865,17 +865,21 @@ _BASELINE_ALIAS = {
 
 # Baselines that are pure torch-CPU reproductions measure the same thing
 # on any backend; every other baseline touches the JAX backend (serving
-# loops, host rollouts with on-device policy, the serial sweep), so an
-# EMT_FORCE_CPU smoke run must not cache a CPU denominator that a later
-# on-chip run would silently divide by (or vice versa).
+# loops, host rollouts with on-device policy, the serial sweep), so a
+# CPU-backed run — EMT_FORCE_CPU, or the axon plugin silently falling
+# back to the CPU platform — must not cache a CPU denominator that a
+# later on-chip run would silently divide by (or vice versa). Keyed on
+# the ACTUAL backend, not the env var; the pre-existing bare entries on
+# this box all come from on-chip sessions (BASELINE.md provenance).
 _TORCH_BASELINES = {"maml_omni", "anil_min", "trpo_particles"}
 
 
 def _cached_baseline(name: str, fn) -> float:
     name = _BASELINE_ALIAS.get(name, name)
-    if (name not in _TORCH_BASELINES
-            and os.environ.get("EMT_FORCE_CPU") == "1"):
-        name = name + "@cpu"
+    if name not in _TORCH_BASELINES:
+        import jax
+        if jax.default_backend() == "cpu":
+            name = name + "@cpu"
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:

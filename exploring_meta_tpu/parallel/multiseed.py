@@ -67,8 +67,8 @@ def vmap_seeds(train: Callable, n_stacked: int, n_data: int = 0,
 
     With ``mesh``, stacked state is committed sharded over the mesh's
     first axis and data replicated before the call, so GSPMD partitions
-    the whole sweep by seed (the seed count must divide the mesh size
-    evenly — seeds cannot be split across chips).
+    the whole sweep by seed (the seed count must be a multiple of the
+    mesh size — seeds cannot be split across chips).
     """
     axes = (0,) * n_stacked + (None,) * n_data
     vf = jax.jit(jax.vmap(train, in_axes=axes))

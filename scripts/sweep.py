@@ -82,9 +82,15 @@ def _seed_run_dirs(sweep_dir, algo, seeds, metrics_per_seed, params_stack,
     import jax
     from exploring_meta_tpu.utils.experiment import flatten_params
 
+    import datetime
+
+    # Unique per-invocation parent (the serial path gets uniqueness from
+    # Experiment's run-dir naming): a re-run with different flags must
+    # not clobber artifacts an earlier summary json still points at.
+    stamp = datetime.datetime.now().strftime("%d_%m_%Hh%M%S")
     runs = []
     for i, seed in enumerate(seeds):
-        d = os.path.join(sweep_dir, f"vmap_{algo}", f"seed{seed}")
+        d = os.path.join(sweep_dir, f"vmap_{algo}_{stamp}", f"seed{seed}")
         os.makedirs(d, exist_ok=True)
         ms = {k: [float(v) for v in np.asarray(vals[i])]
               for k, vals in metrics_per_seed.items()}
@@ -214,6 +220,15 @@ def run_vmapped(algo, base_cfg, seeds, sweep_dir, final_key):
     """One-XLA-program sweep dispatch. -> runs list (sweep.py contract)."""
     from exploring_meta_tpu import parallel
 
+    # Serial-only trainer flags the one-program path cannot honor: fail
+    # loudly rather than silently retrain from scratch / skip the trace.
+    for flag in ("resume", "profile", "trace"):
+        if getattr(base_cfg, flag, None):
+            raise SystemExit(
+                f"--vmap_seeds cannot honor --{flag}: the whole sweep is "
+                f"one XLA program with no per-seed trainer loop — run the "
+                f"serial sweep (drop --vmap_seeds) instead")
+
     mesh = (parallel.make_task_mesh(base_cfg.mesh, axis="seeds")
             if getattr(base_cfg, "mesh", 1) > 1 else None)
     prefix = "anil" if algo.startswith("anil") else "maml"
@@ -231,6 +246,23 @@ def run_vmapped(algo, base_cfg, seeds, sweep_dir, final_key):
         print(f"seed {seed}: {final_key} = {final:.4f}")
     return _seed_run_dirs(sweep_dir, algo, seeds, metrics, params, finals,
                           final_key, trainer_algo, dataset, base_cfg)
+
+
+def _run_serial(make_trainer, base_cfg, seeds, final_key):
+    """N sequential trainer runs in one process (compiled programs are
+    reused across seeds — seeds change data, not shapes)."""
+    runs = []
+    for seed in seeds:
+        print(f"=== sweep seed {seed} ===")
+        trainer = make_trainer(replace(base_cfg, seed=seed))
+        result = trainer.run()
+        final = (float(result) if not isinstance(result, dict)
+                 else float(result.get("mean_reward",
+                                       next(iter(result.values())))))
+        runs.append({"seed": seed, "run_dir": trainer.model_path,
+                     final_key: final})
+        print(f"seed {seed}: {final_key} = {final:.4f}")
+    return runs
 
 
 def main():
@@ -266,20 +298,9 @@ def main():
     base_cfg = cfg_cls(**trainer_fields)
 
     if args.vmap_seeds:
-        os.makedirs(args.sweep_dir, exist_ok=True)
         runs = run_vmapped(algo, base_cfg, seeds, args.sweep_dir, final_key)
     else:
-      runs = []
-      for seed in seeds:
-        print(f"=== sweep seed {seed} ===")
-        trainer = make_trainer(replace(base_cfg, seed=seed))
-        result = trainer.run()
-        final = (float(result) if not isinstance(result, dict)
-                 else float(result.get("mean_reward",
-                                       next(iter(result.values())))))
-        runs.append({"seed": seed, "run_dir": trainer.model_path,
-                     final_key: final})
-        print(f"seed {seed}: {final_key} = {final:.4f}")
+        runs = _run_serial(make_trainer, base_cfg, seeds, final_key)
 
     os.makedirs(args.sweep_dir, exist_ok=True)
     tag = f"{algo}_{'-'.join(str(s) for s in seeds)}"

@@ -192,6 +192,19 @@ def test_sweep_script_vmapped_rl(tmp_path, monkeypatch):
     assert len(ms["adapt_reward"]) == 2
 
 
+def test_vmapped_rejects_serial_only_flags():
+    """--resume on --vmap_seeds must fail loudly, not silently retrain
+    from scratch."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from sweep import run_vmapped
+
+    from exploring_meta_tpu.utils.config import VisionConfig
+    cfg = VisionConfig(resume="results/some_run/ckpt.npz")
+    with pytest.raises(SystemExit, match="cannot honor --resume"):
+        run_vmapped("maml_vision", cfg, [0, 1], "/tmp/x", "test_acc")
+
+
 def test_vmapped_rl_rejects_host_envs():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "scripts"))
