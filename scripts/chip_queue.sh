@@ -28,16 +28,24 @@ run probe 300 python -c "import jax; print(jax.devices())" || {
   exit 1
 }
 
-# 1. TPU-only Pallas tests (incl. the fused-rollout per-task-sigma
-#    regression added in round 3 session 3 — never yet run on chip)
-run pallas_tpu 1800 env EMT_TEST_TPU=1 python -m pytest tests/test_pallas_tpu.py -q
-
-# 2. regenerate BENCH_FULL.json — the committed one has precision-leaked
-#    trpo/host rows (fixed in 35d4dd9) and predates the serve_rl config
+# 1. regenerate BENCH_FULL.json FIRST — it is the round artifact (the
+#    committed one has precision-leaked trpo/host rows, fixed in 35d4dd9,
+#    and predates the serve_rl config); if the tunnel flaps mid-queue the
+#    most valuable capture must already be on disk
 run bench_all 5400 python bench.py --all
 
-# 3. s2d conv lowering A/B on the headline config
+# 2. default-flip candidates next — a measured win here changes defaults
+#    before the driver's end-of-round bench
+# 2a. s2d conv lowering A/B on the headline config
 run bench_s2d 1800 env EMT_BENCH_S2D=1 python bench.py --config maml_omni
+# 2b. fused-chunk sweep on the trpo config (is EMT_BENCH_FUSE=10 optimal?)
+run bench_trpo_fuse25 1800 env EMT_BENCH_FUSE=25 python bench.py --config trpo_particles
+# 2c. RL bf16 A/B (parity-gated; win/no-win goes to BASELINE.md either way)
+run bench_trpo_bf16 1800 env EMT_BENCH_BF16=1 python bench.py --config trpo_particles
+
+# 3. TPU-only Pallas tests (incl. the fused-rollout per-task-sigma
+#    regression added in round 3 session 3 — never yet run on chip)
+run pallas_tpu 1800 env EMT_TEST_TPU=1 python -m pytest tests/test_pallas_tpu.py -q
 
 # 4. reproducible rooflines (replace the ad-hoc BASELINE.md numbers)
 run roofline_omni      1200 python scripts/roofline.py --config maml_omni --time
@@ -59,10 +67,5 @@ run profile_trpo 2400 python scripts/maml_trpo.py --num_iterations 20 \
 #     NOTE: bench_all above also covers this config; this standalone run
 #     is the fallback if bench_all times out partway.
 run bench_multiseed 1800 python bench.py --config multiseed_trpo
-
-# 5. fused-chunk sweep on the trpo config (is EMT_BENCH_FUSE=10 optimal?)
-run bench_trpo_fuse25 1800 env EMT_BENCH_FUSE=25 python bench.py --config trpo_particles
-# 6. RL bf16 A/B (parity-gated; win/no-win goes to BASELINE.md either way)
-run bench_trpo_bf16 1800 env EMT_BENCH_BF16=1 python bench.py --config trpo_particles
 
 echo "chip_queue: DONE" | tee -a "$LOGDIR/queue.log"
