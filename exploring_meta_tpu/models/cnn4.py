@@ -119,7 +119,18 @@ def base_apply(base: list, x: jnp.ndarray, max_pool: bool,
 
 
 def cnn4_features(params: dict, spec: CNN4Spec, x: jnp.ndarray) -> jnp.ndarray:
-    """Base output flattened to the head input ([N, head_in])."""
+    """Base output flattened to the head input ([N, head_in]).
+
+    Under ``set_conv_impl("pallas")`` the Omniglot-shaped base (stride-2
+    blocks + global mean) routes to the fused whole-base Pallas kernels
+    (``pallas/cnn4_pallas.py``, SURVEY §7.2 stage 11); other specs fall
+    back to the per-op XLA path.
+    """
+    from exploring_meta_tpu.models.layers import get_conv_impl
+    if (get_conv_impl() == "pallas" and spec.global_pool
+            and not spec.max_pool and spec.layers == 4):
+        from exploring_meta_tpu.pallas.cnn4_pallas import fused_omni_base
+        return fused_omni_base(params["base"], x)
     x = base_apply(params["base"], x, spec.max_pool)
     if spec.global_pool:
         return jnp.mean(x, axis=(1, 2))

@@ -43,9 +43,12 @@ def get_precision() -> str:
 
 
 def set_conv_impl(mode: str) -> None:
-    """Select the stride-2 conv lowering: "direct" | "s2d" (see above)."""
+    """Select the stride-2 conv lowering: "direct" | "s2d" (see above) |
+    "pallas" (fused whole-base Pallas kernels for the Omniglot-shaped
+    CNN4 — pallas/cnn4_pallas.py; specs the kernel does not cover fall
+    back to "direct" per-op lowering)."""
     global _CONV_IMPL
-    assert mode in ("direct", "s2d")
+    assert mode in ("direct", "s2d", "pallas")
     _CONV_IMPL = mode
 
 

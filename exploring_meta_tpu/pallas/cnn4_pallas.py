@@ -1,0 +1,561 @@
+"""Fused CNN4 base Pallas kernels (SURVEY §7.2 stage 11).
+
+Rebuilds the hot path of the reference's OmniglotCNN ConvBase
+(``core_functions/vision_models.py:38-55,149-193``: 4x [conv3x3 stride-2
+-> BN -> ReLU], then the global spatial mean feeding the linear head) as
+TWO Pallas kernels that keep every intermediate activation in VMEM:
+
+- ``_fwd_kernel``  — the whole 4-block base forward for one task. Reads
+  the task images + the 16 param tensors from HBM, writes ONLY the final
+  pooled features [N, hidden]. The 28x28 / 14x14 activations, BN
+  statistics and ReLU masks never touch HBM.
+- ``_bwd_kernel``  — the matching backward: recomputes the forward in
+  VMEM (FLOPs are free here — the meta-step runs at ~3% MXU peak and 85%
+  HBM peak, BASELINE.md roofline) and emits all 16 parameter cotangents
+  plus dx in one pass.
+
+Why this shape: the vision meta-step is HBM-bandwidth-bound, and XLA
+cannot fuse conv -> BN because BN's batch statistics need a full
+reduction over the conv output before normalization can start — so every
+block costs a write + two reads of its activation in HBM. Per task
+everything fits in VMEM (<4 MB), so one program per task (the task axis
+arrives via vmap -> pallas grid batching) removes those bytes entirely.
+
+Stride-2 taps without strided slices: Mosaic lowers neither strided
+slices (gather) nor scatter, so the padded input is reshaped to the
+parity-decomposed form [N, Hp/2, 2, Wp/2, 2, C] — both spatial dims
+split into (half, parity) WITHOUT touching the lane (channel) dim,
+which Mosaic accepts (the lane-merging [.., 2C] variant does not). The
+9 conv taps become *static* slices: tap (dy, dx) lives at plane row
+``dy//2 + i``, row-parity ``dy % 2``, column ``dx//2 + j``, col-parity
+``dx % 2``. The transposed-conv scatter in the backward becomes a sum
+of ``lax.pad``-embedded tap cotangents into the same decomposition.
+
+MAML needs second-order meta-gradients THROUGH the backward (the inner
+``jax.grad`` gets differentiated again), so the backward op carries its
+own ``custom_vjp`` whose rules fall back to plain-JAX autodiff of the
+reference formulation (``models.cnn4.base_apply``) — the double-backward
+runs once per meta-step on the support batch only, in XLA.
+
+Numerics: the kernels compute in f32 regardless of the input dtype
+(bf16 inputs under ``adapt.cast_compute`` are upcast after the HBM read,
+so the HBM traffic still halves); verified against the XLA path in
+``tests/test_pallas_cnn4.py`` (interpret mode) and
+``tests/test_pallas_tpu.py`` (real chip).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5  # layers.batch_norm default (torch BatchNorm2d eps)
+_N_BLOCKS = 4
+_PER_BLOCK = 4  # w, b, scale, bias
+
+
+# ---------------------------------------------------------------------------
+# in-kernel math (traced inside the Pallas kernels, everything in VMEM)
+# ---------------------------------------------------------------------------
+
+def _pad_even(x):
+    """Zero-pad H and W by 1 low, then to even extents (lax.pad — Mosaic
+    has no scatter, and ``.at[].set`` of a slice lowers to one)."""
+    n, h, w, c = x.shape
+    hp = h + 2 + (h % 2)
+    wp = w + 2 + (w % 2)
+    return lax.pad(x, jnp.zeros((), x.dtype),
+                   [(0, 0, 0), (1, hp - h - 1, 0),
+                    (1, wp - w - 1, 0), (0, 0, 0)])
+
+
+def _parity_view(xpad):
+    """[N, Hp, Wp, C] -> [N, Hp/2, 2, Wp/2, 2, C] (pure reshape).
+
+    Both H and W split into (half, parity) WITHOUT touching the lane
+    (channel) dim — Mosaic lowers these splits, while the lane-merging
+    [.., Wp/2, 2C] form and any stride-2 slice (gather) do not."""
+    n, hp, wp, c = xpad.shape
+    return xpad.reshape(n, hp // 2, 2, wp // 2, 2, c)
+
+
+def _tap(view, c, dy, dx, ho, wo):
+    """Static slice of the parity view = the stride-2 conv tap (dy, dx)."""
+    del c
+    return view[:, dy // 2:dy // 2 + ho, dy % 2,
+                dx // 2:dx // 2 + wo, dx % 2, :]
+
+
+def _out_hw(h):
+    return (h - 1) // 2 + 1  # conv3x3, stride 2, pad 1
+
+
+def _conv_s2(a_prev, w):
+    """Stride-2 3x3 conv via 9 static parity taps; f32 accumulation."""
+    n, h, wd, ci = a_prev.shape
+    co = w.shape[3]
+    ho, wo = _out_hw(h), _out_hw(wd)
+    view = _parity_view(_pad_even(a_prev))
+    acc = jnp.zeros((n * ho * wo, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            t = _tap(view, ci, dy, dx, ho, wo).reshape(n * ho * wo, ci)
+            if ci == 1:
+                acc = acc + t * w[dy, dx, 0, :][None, :]
+            else:
+                acc = acc + jnp.dot(t, w[dy, dx],
+                                    precision=lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+    return acc.reshape(n, ho, wo, co)
+
+
+def _block_fwd(a_prev, w, b, scale, bias):
+    """conv -> batch-stat BN -> ReLU; returns (a, xhat, inv_std)."""
+    y = _conv_s2(a_prev, w) + b
+    mu = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=(0, 1, 2), keepdims=True)
+    inv = lax.rsqrt(var + _EPS)
+    xh = (y - mu) * inv
+    a = jnp.maximum(xh * scale + bias, 0.0)
+    return a, xh, inv
+
+
+def _base_fwd(x, pf32):
+    """All 4 blocks; returns (pooled feats [N, C], acts, xhats, invs)."""
+    acts, xhs, invs = [x], [], []
+    a = x
+    for i in range(_N_BLOCKS):
+        w, b, s, be = pf32[_PER_BLOCK * i:_PER_BLOCK * (i + 1)]
+        a, xh, inv = _block_fwd(a, w, b, s, be)
+        acts.append(a)
+        xhs.append(xh)
+        invs.append(inv)
+    feats = jnp.mean(a, axis=(1, 2))
+    return feats, acts, xhs, invs
+
+
+def _conv_s2_bwd(a_prev, d_out, w):
+    """Backward of ``_conv_s2 + b``: returns (dw, db, da_prev).
+
+    dw via tap^T @ d_out (contracting the N*Ho*Wo axis — an MXU-shaped
+    matmul); da_prev via the transposed scatter into the same parity
+    decomposition the forward taps slice from.
+    """
+    n, h, wd, ci = a_prev.shape
+    ho, wo, co = d_out.shape[1], d_out.shape[2], d_out.shape[3]
+    hp = h + 2 + (h % 2)
+    wp = wd + 2 + (wd % 2)
+    view = _parity_view(_pad_even(a_prev))
+    df = d_out.reshape(n * ho * wo, co)
+    # transposed scatter = lax.pad-embedded adds into the 6D parity view
+    # (Mosaic has no scatter; pad with static low/high config lowers)
+    dview = jnp.zeros((n, hp // 2, 2, wp // 2, 2, ci), jnp.float32)
+    dw_rows = []
+    for dy in range(3):
+        row = []
+        for dx in range(3):
+            t = _tap(view, ci, dy, dx, ho, wo).reshape(n * ho * wo, ci)
+            # [ci, co]: contract the M axis of both (no transposes)
+            row.append(lax.dot_general(
+                t, df, (((0,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32))
+            # [M, ci]: contract the co axis (w[dy,dx] is [ci, co])
+            dt = lax.dot_general(
+                df, w[dy, dx], (((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            dt6 = dt.reshape(n, ho, 1, wo, 1, ci)
+            dview = dview + lax.pad(
+                dt6, jnp.float32(0),
+                [(0, 0, 0),
+                 (dy // 2, hp // 2 - ho - dy // 2, 0),
+                 (dy % 2, 1 - dy % 2, 0),
+                 (dx // 2, wp // 2 - wo - dx // 2, 0),
+                 (dx % 2, 1 - dx % 2, 0),
+                 (0, 0, 0)])
+        dw_rows.append(jnp.stack(row))
+    dw = jnp.stack(dw_rows)                       # [3, 3, ci, co]
+    db = jnp.sum(df, axis=0)                      # [co]
+    da_pad = dview.reshape(n, hp, wp, ci)
+    return dw, db, da_pad[:, 1:1 + h, 1:1 + wd, :]
+
+
+def _block_bwd(da, xh, inv, scale, bias):
+    """Backward of BN(batch-stats, biased var) -> ReLU.
+
+    Returns (dy, dscale, dbias) where dy is the cotangent of the conv
+    output y.
+    """
+    dz = da * ((xh * scale + bias) > 0)
+    dscale = jnp.sum(dz * xh, axis=(0, 1, 2))
+    dbias = jnp.sum(dz, axis=(0, 1, 2))
+    dxh = dz * scale
+    dy = inv * (dxh
+                - jnp.mean(dxh, axis=(0, 1, 2), keepdims=True)
+                - xh * jnp.mean(dxh * xh, axis=(0, 1, 2), keepdims=True))
+    return dy, dscale, dbias
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, *refs):
+    param_refs, out_ref = refs[:-1], refs[-1]
+    x = x_ref[...].astype(jnp.float32)
+    pf32 = [r[...].astype(jnp.float32) for r in param_refs]
+    feats, _, _, _ = _base_fwd(x, pf32)
+    out_ref[...] = feats.astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, *refs):
+    n_in = 1 + _N_BLOCKS * _PER_BLOCK  # x + params; then g
+    param_refs = refs[:_N_BLOCKS * _PER_BLOCK]
+    g_ref = refs[_N_BLOCKS * _PER_BLOCK]
+    out_refs = refs[_N_BLOCKS * _PER_BLOCK + 1:]  # dx, then 16 dparams
+    del n_in
+
+    x = x_ref[...].astype(jnp.float32)
+    pf32 = [r[...].astype(jnp.float32) for r in param_refs]
+    _, acts, xhs, invs = _base_fwd(x, pf32)
+
+    g = g_ref[...].astype(jnp.float32)            # [N, C]
+    h4, w4 = acts[-1].shape[1], acts[-1].shape[2]
+    da = jnp.broadcast_to(g[:, None, None, :] / (h4 * w4), acts[-1].shape)
+
+    grads = [None] * (_N_BLOCKS * _PER_BLOCK)
+    for i in reversed(range(_N_BLOCKS)):
+        w, _, s, be = pf32[_PER_BLOCK * i:_PER_BLOCK * (i + 1)]
+        dy, ds, dbe = _block_bwd(da, xhs[i], invs[i], s, be)
+        dw, db, da = _conv_s2_bwd(acts[i], dy, w)
+        grads[_PER_BLOCK * i:_PER_BLOCK * (i + 1)] = [dw, db, ds, dbe]
+
+    out_refs[0][...] = da.astype(out_refs[0].dtype)
+    for ref, gval in zip(out_refs[1:], grads):
+        ref[...] = gval.astype(ref.dtype)
+
+
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+def _flatten_blocks(blocks):
+    flat = []
+    for blk in blocks:
+        flat += [blk["conv"]["w"], blk["conv"]["b"],
+                 blk["bn"]["scale"], blk["bn"]["bias"]]
+    return flat
+
+
+def _unflatten_blocks(flat):
+    return [{"conv": {"w": flat[_PER_BLOCK * i], "b": flat[_PER_BLOCK * i + 1]},
+             "bn": {"scale": flat[_PER_BLOCK * i + 2],
+                    "bias": flat[_PER_BLOCK * i + 3]}}
+            for i in range(_N_BLOCKS)]
+
+
+# The 6D parity views pad their tiny minor dims (2, C) up to the (8, 128)
+# tile, so the per-task working set exceeds Mosaic's conservative 16 MB
+# scoped-vmem default; the real v5e VMEM is 128 MB, and the whole point
+# of the kernel is holding every intermediate there.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# One grid step per task in the batched kernels; "arbitrary" lets Mosaic
+# pipeline the next task's input DMA under the current task's compute.
+_COMPILER_PARAMS_BATCHED = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024,
+    dimension_semantics=("arbitrary",))
+
+
+def _fwd_call_single(blocks, x):
+    flat = _flatten_blocks(blocks)
+    hidden = flat[0].shape[-1]
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], hidden), x.dtype),
+        in_specs=[vspec] * (1 + len(flat)),
+        out_specs=vspec,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *flat)
+
+
+def _bwd_call_single(blocks, x, g):
+    flat = _flatten_blocks(blocks)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    out_shape += [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in flat]
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[vspec] * (2 + len(flat)),
+        out_specs=tuple([vspec] * len(out_shape)),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *flat, g)
+    return _unflatten_blocks(list(outs[1:])), outs[0]
+
+
+# ---------------------------------------------------------------------------
+# task-batched kernels (custom vmap rules)
+#
+# Auto-vmap of a pallas_call inserts a grid dim whose per-task blocks
+# break TPU tiling for the 1-D params ([B, C] blocked to (1, C): the
+# leading 1 is neither 8-divisible nor equal to B). Instead: explicit
+# grid over tasks, 1-D params lifted to [B, 1, C] (block (1, 1, C) —
+# last two dims equal the array's, which Mosaic accepts), weights
+# blocked (1, 3, 3, ci, co). The rules sit BELOW the custom_jvp/vjp AD
+# wrappers, so autodiff never differentiates through custom_vmap (its
+# reverse-mode hole) — by the time vmap reaches these calls, AD has
+# already been routed to the pure-JAX tangent formulations.
+# ---------------------------------------------------------------------------
+
+def _lift(p):
+    """[B, C] param -> [B, 1, C] for legal per-task blocking."""
+    return p.reshape(p.shape[0], 1, p.shape[1]) if p.ndim == 2 else p
+
+
+def _read_task(ref):
+    """Per-task block ref -> the task's tensor in its original shape."""
+    v = ref[0]
+    if v.ndim == 2 and v.shape[0] == 1:  # lifted 1-D param
+        v = v[0]
+    return v
+
+
+def _fwd_kernel_batched(x_ref, *refs):
+    param_refs, out_ref = refs[:-1], refs[-1]
+    x = _read_task(x_ref).astype(jnp.float32)
+    pf32 = [_read_task(r).astype(jnp.float32) for r in param_refs]
+    feats, _, _, _ = _base_fwd(x, pf32)
+    out_ref[0] = feats.astype(out_ref.dtype)
+
+
+def _bwd_kernel_batched(x_ref, *refs):
+    param_refs = refs[:_N_BLOCKS * _PER_BLOCK]
+    g_ref = refs[_N_BLOCKS * _PER_BLOCK]
+    out_refs = refs[_N_BLOCKS * _PER_BLOCK + 1:]  # dx, then 16 dparams
+
+    x = _read_task(x_ref).astype(jnp.float32)
+    pf32 = [_read_task(r).astype(jnp.float32) for r in param_refs]
+    _, acts, xhs, invs = _base_fwd(x, pf32)
+
+    g = _read_task(g_ref).astype(jnp.float32)     # [N, C]
+    h4, w4 = acts[-1].shape[1], acts[-1].shape[2]
+    da = jnp.broadcast_to(g[:, None, None, :] / (h4 * w4), acts[-1].shape)
+
+    grads = [None] * (_N_BLOCKS * _PER_BLOCK)
+    for i in reversed(range(_N_BLOCKS)):
+        w, _, s, be = pf32[_PER_BLOCK * i:_PER_BLOCK * (i + 1)]
+        dy, ds, dbe = _block_bwd(da, xhs[i], invs[i], s, be)
+        dw, db, da = _conv_s2_bwd(acts[i], dy, w)
+        grads[_PER_BLOCK * i:_PER_BLOCK * (i + 1)] = [dw, db, ds, dbe]
+
+    out_refs[0][0] = da.astype(out_refs[0].dtype)
+    for ref, gval in zip(out_refs[1:], grads):
+        gval = gval.reshape(ref.shape[1:])  # lifted 1-D grads -> [1, C]
+        ref[0] = gval.astype(ref.dtype)
+
+
+def _task_spec(a):
+    """BlockSpec selecting task t's slab of a leading-batch array."""
+    rank = a.ndim
+    zeros = (0,) * (rank - 1)
+    return pl.BlockSpec((1,) + a.shape[1:], lambda t, _z=zeros: (t, *_z))
+
+
+def _fwd_pallas_batched(blocks, x):
+    """All leaves carry a leading task axis B."""
+    flat = [_lift(p) for p in _flatten_blocks(blocks)]
+    b, n = x.shape[0], x.shape[1]
+    hidden = flat[0].shape[-1]
+    ins = [x] + flat
+    return pl.pallas_call(
+        _fwd_kernel_batched,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, n, hidden), x.dtype),
+        in_specs=[_task_spec(a) for a in ins],
+        out_specs=pl.BlockSpec((1, n, hidden), lambda t: (t, 0, 0)),
+        compiler_params=_COMPILER_PARAMS_BATCHED,
+        interpret=_interpret(),
+    )(*ins)
+
+
+def _bwd_pallas_batched(blocks, x, g):
+    flat = [_lift(p) for p in _flatten_blocks(blocks)]
+    b = x.shape[0]
+    ins = [x] + flat + [g]
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    out_shape += [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in flat]
+    outs = pl.pallas_call(
+        _bwd_kernel_batched,
+        grid=(b,),
+        out_shape=tuple(out_shape),
+        in_specs=[_task_spec(a) for a in ins],
+        out_specs=tuple(_task_spec(o) for o in out_shape),
+        compiler_params=_COMPILER_PARAMS_BATCHED,
+        interpret=_interpret(),
+    )(*ins)
+    dflat = [o.reshape(o.shape[0], -1) if o.ndim == 3 and o.shape[1] == 1
+             else o for o in outs[1:]]  # un-lift 1-D grads
+    return _unflatten_blocks(dflat), outs[0]
+
+
+def _bcast_tree(tree, batched, b):
+    return jax.tree_util.tree_map(
+        lambda p, is_b: p if is_b
+        else jnp.broadcast_to(p[None], (b,) + p.shape),
+        tree, batched)
+
+
+@jax.custom_batching.custom_vmap
+def _fwd_batched(blocks, x):
+    return _fwd_pallas_batched(blocks, x)
+
+
+@_fwd_batched.def_vmap
+def _fwd_batched_vmap(axis_size, in_batched, blocks, x):
+    # second (or deeper) vmap level: fold the new axis into the task axis
+    blocks_b, x_b = in_batched
+    blocks = _bcast_tree(blocks, blocks_b, axis_size)
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    b_inner = x.shape[1]
+    blocks_m = jax.tree_util.tree_map(
+        lambda p: p.reshape((axis_size * b_inner,) + p.shape[2:]), blocks)
+    out = _fwd_batched(blocks_m, x.reshape((axis_size * b_inner,)
+                                           + x.shape[2:]))
+    return out.reshape((axis_size, b_inner) + out.shape[1:]), True
+
+
+@jax.custom_batching.custom_vmap
+def _fwd_call(blocks, x):
+    return _fwd_call_single(blocks, x)
+
+
+@_fwd_call.def_vmap
+def _fwd_call_vmap(axis_size, in_batched, blocks, x):
+    blocks_b, x_b = in_batched
+    blocks = _bcast_tree(blocks, blocks_b, axis_size)
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    return _fwd_batched(blocks, x), True
+
+
+@jax.custom_batching.custom_vmap
+def _bwd_batched(blocks, x, g):
+    return _bwd_pallas_batched(blocks, x, g)
+
+
+@_bwd_batched.def_vmap
+def _bwd_batched_vmap(axis_size, in_batched, blocks, x, g):
+    blocks_b, x_b, g_b = in_batched
+    blocks = _bcast_tree(blocks, blocks_b, axis_size)
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    if not g_b:
+        g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
+    b_inner = x.shape[1]
+    merge = lambda p: p.reshape((axis_size * b_inner,) + p.shape[2:])
+    dblocks, dx = _bwd_batched(jax.tree_util.tree_map(merge, blocks),
+                               merge(x), merge(g))
+    split = lambda p: p.reshape((axis_size, b_inner) + p.shape[1:])
+    out = (jax.tree_util.tree_map(split, dblocks), split(dx))
+    return out, jax.tree_util.tree_map(lambda _: True, out)
+
+
+@jax.custom_batching.custom_vmap
+def _bwd_call(blocks, x, g):
+    return _bwd_call_single(blocks, x, g)
+
+
+@_bwd_call.def_vmap
+def _bwd_call_vmap(axis_size, in_batched, blocks, x, g):
+    blocks_b, x_b, g_b = in_batched
+    blocks = _bcast_tree(blocks, blocks_b, axis_size)
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    if not g_b:
+        g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
+    out = _bwd_batched(blocks, x, g)
+    return out, jax.tree_util.tree_map(lambda _: True, out)
+
+
+# ---------------------------------------------------------------------------
+# reference (XLA) formulation — double-backward + numerics oracle
+# ---------------------------------------------------------------------------
+
+def _pure_base(blocks, x):
+    from exploring_meta_tpu.models.cnn4 import base_apply
+    a = base_apply(blocks, x, max_pool=False)
+    return jnp.mean(a, axis=(1, 2))
+
+
+def _pure_grads(blocks, x, g):
+    _, vjp = jax.vjp(_pure_base, blocks, x)
+    db, dx = vjp(g)
+    return db, dx
+
+
+# Both Pallas calls are wrapped in custom_jvp ops (primal = the kernel,
+# tangent = forward-mode through the plain-JAX formulation). Why BOTH:
+# MAML's meta-gradient is grad-of-grad — the outer jax.grad linearizes
+# the graph the inner vjp staged out, and that graph contains the
+# residual-producing FORWARD as well as the BACKWARD. Raw pallas_calls
+# have no JVP rule ("linearization failed to produce known values"),
+# and custom_vjp forbids jvp outright; custom_jvp with an XLA tangent
+# keeps the primal fwd/bwd on the fused kernels while the (support-
+# batch-only) double-backward runs as a standard XLA HVP — linear in
+# the tangents, hence transposable by the outer reverse pass.
+@jax.custom_jvp
+def _fwd_op(blocks, x):
+    return _fwd_call(blocks, x)
+
+
+@_fwd_op.defjvp
+def _fwd_op_jvp(primals, tangents):
+    primal_out = _fwd_op(*primals)
+    _, tangent_out = jax.jvp(_pure_base, primals, tangents)
+    return primal_out, tangent_out
+
+
+@jax.custom_jvp
+def _bwd_op(blocks, x, g):
+    return _bwd_call(blocks, x, g)
+
+
+@_bwd_op.defjvp
+def _bwd_op_jvp(primals, tangents):
+    primal_out = _bwd_op(*primals)
+    _, tangent_out = jax.jvp(_pure_grads, primals, tangents)
+    return primal_out, tangent_out
+
+
+@jax.custom_vjp
+def fused_omni_base(blocks, x):
+    """Pooled CNN4-Omniglot base features [N, hidden] for images
+    ``x [N, H, W, 1]`` — drop-in for
+    ``mean(base_apply(blocks, x, max_pool=False), (1, 2))`` with the
+    whole 4-block forward (and its backward) fused into single Pallas
+    programs. Exact-math vs the XLA path to f32 rounding; second-order
+    differentiable (see module docstring).
+    """
+    return _fwd_op(blocks, x)
+
+
+def _fused_fwd(blocks, x):
+    return _fwd_op(blocks, x), (blocks, x)
+
+
+def _fused_bwd(res, g):
+    blocks, x = res
+    return _bwd_op(*res, g)
+
+
+fused_omni_base.defvjp(_fused_fwd, _fused_bwd)

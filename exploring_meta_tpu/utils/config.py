@@ -50,6 +50,7 @@ class VisionConfig:
     async_ckpt: bool = False     # checkpoint writes on a background thread
     bf16: bool = False           # bf16 compute graph, f32 master params
     conv_impl: str = "direct"    # stride-2 conv lowering: "direct" | "s2d"
+                                 # | "pallas" (fused whole-base kernels)
     nan_guard: bool = True       # stop + save when train loss goes non-finite
     ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
     compile_cache: str = ""      # persistent XLA compile cache dir
@@ -125,12 +126,15 @@ def vision_argparser(defaults: VisionConfig,
                    help="persistent XLA compilation cache directory "
                         "(default ~/.cache/exploring_meta_tpu/xla; "
                         "'off' disables) — re-runs skip recompilation")
-    p.add_argument("--conv_impl", choices=["direct", "s2d"],
+    p.add_argument("--conv_impl", choices=["direct", "s2d", "pallas"],
                    default=defaults.conv_impl,
-                   help="stride-2 conv lowering: direct conv, or the exact "
+                   help="stride-2 conv lowering: direct conv, the exact "
                         "space-to-depth reformulation (2x2 conv over 4x "
                         "channels — MXU-friendlier for the small CNN4 "
-                        "widths; see models/layers.py)")
+                        "widths; see models/layers.py), or the fused "
+                        "whole-base Pallas kernels for the Omniglot CNN4 "
+                        "(pallas/cnn4_pallas.py — all 4 conv-BN-ReLU "
+                        "blocks in VMEM, one HBM write per task)")
     p.add_argument("--no_nan_guard", dest="nan_guard", action="store_false",
                    default=defaults.nan_guard,
                    help="disable the divergence watchdog (by default a "

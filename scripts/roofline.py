@@ -72,7 +72,7 @@ def main():
     p.add_argument("--config", choices=["maml_omni", "anil_min"],
                    default="maml_omni")
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--conv_impl", choices=["direct", "s2d"],
+    p.add_argument("--conv_impl", choices=["direct", "s2d", "pallas"],
                    default="direct")
     p.add_argument("--meta_batch", type=int, default=32)
     p.add_argument("--time", action="store_true",

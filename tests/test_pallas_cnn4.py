@@ -1,0 +1,156 @@
+"""Fused CNN4-base Pallas kernels vs the XLA reference path.
+
+Runs in interpret mode on the CPU backend (the kernels self-select
+``interpret=True`` off-chip); the same numerics are re-checked compiled
+on the real chip in tests/test_pallas_tpu.py.
+
+Covers the full contract the MAML meta-step needs from the fused op
+(pallas/cnn4_pallas.py): forward equality, first-order gradients
+(the Pallas backward kernel), vmap over tasks with batched AND broadcast
+params, second-order meta-gradients through the inner update (the
+pure-JAX double-backward rule), and the bf16 cast_compute path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exploring_meta_tpu import adapt, models
+from exploring_meta_tpu.models.cnn4 import (
+    base_apply, cnn4_apply, omniglot_spec,
+)
+from exploring_meta_tpu.models.layers import set_conv_impl
+from exploring_meta_tpu.ops.losses import cross_entropy
+from exploring_meta_tpu.pallas.cnn4_pallas import fused_omni_base
+
+
+def _pure_feats(blocks, x):
+    return jnp.mean(base_apply(blocks, x, max_pool=False), axis=(1, 2))
+
+
+@pytest.fixture
+def setup():
+    spec = omniglot_spec(ways=5)
+    params = models.init_cnn4(jax.random.key(0), spec)
+    x = jax.random.normal(jax.random.key(1), (10, 28, 28, 1), jnp.float32)
+    return spec, params, x
+
+
+def test_forward_matches_xla(setup):
+    _, params, x = setup
+    got = fused_omni_base(params["base"], x)
+    want = _pure_feats(params["base"], x)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_first_order_grads_match(setup):
+    _, params, x = setup
+    y = jnp.arange(10) % 5
+
+    def loss(blocks, feats_fn):
+        feats = feats_fn(blocks, x)
+        logits = feats @ params["head"]["w"] + params["head"]["b"]
+        return cross_entropy(logits, y)
+
+    g_pal = jax.grad(loss)(params["base"], fused_omni_base)
+    g_xla = jax.grad(loss)(params["base"], _pure_feats)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_input_cotangent_matches(setup):
+    _, params, x = setup
+    g_pal = jax.grad(lambda xx: jnp.sum(
+        fused_omni_base(params["base"], xx) ** 2))(x)
+    g_xla = jax.grad(lambda xx: jnp.sum(
+        _pure_feats(params["base"], xx) ** 2))(x)
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_vmap_broadcast_and_batched_params(setup):
+    _, params, x = setup
+    xb = jax.random.normal(jax.random.key(2), (3, 8, 28, 28, 1))
+    # broadcast params (first inner forward of every task)
+    got = jax.vmap(lambda xx: fused_omni_base(params["base"], xx))(xb)
+    want = jax.vmap(lambda xx: _pure_feats(params["base"], xx))(xb)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # per-task (adapted) params
+    pb = jax.tree_util.tree_map(
+        lambda p: jnp.stack([p, p * 1.01, p * 0.99]), params["base"])
+    got = jax.vmap(fused_omni_base)(pb, xb)
+    want = jax.vmap(_pure_feats)(pb, xb)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_second_order_meta_grad_matches(setup):
+    """grad THROUGH the inner jax.grad — the MAML meta-gradient path."""
+    spec, params, x = setup
+    y = jnp.arange(10) % 5
+
+    def meta_loss(p, feats_fn, first_order=False):
+        def task_loss(pp):
+            feats = feats_fn(pp["base"], x)
+            logits = feats @ pp["head"]["w"] + pp["head"]["b"]
+            return cross_entropy(logits, y)
+
+        g = jax.grad(task_loss)(p)
+        if first_order:
+            g = jax.lax.stop_gradient(g)
+        adapted = jax.tree_util.tree_map(lambda a, b: a - 0.5 * b, p, g)
+        return task_loss(adapted)
+
+    for fo in (False, True):
+        g_pal = jax.grad(meta_loss)(params, fused_omni_base, fo)
+        g_xla = jax.grad(meta_loss)(params, _pure_feats, fo)
+        for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                        jax.tree_util.tree_leaves(g_xla)):
+            np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5)
+
+
+def test_meta_step_end_to_end_conv_impl_pallas(setup):
+    """Whole vmapped meta-step through set_conv_impl('pallas') routing,
+    bf16 cast_compute included — the bench/trainer configuration."""
+    import optax
+    spec, params, _ = setup
+    ways, shots = 5, 2
+    data = jax.random.normal(jax.random.key(3),
+                             (4, 2 * shots * ways, 28, 28, 1))
+    labels = jnp.tile(jnp.repeat(jnp.arange(ways), 2 * shots), (4, 1))
+
+    def run():
+        fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.5, adapt_steps=1,
+                                          shots=shots, ways=ways)
+        fa = adapt.cast_compute(fa)
+        opt = optax.adam(1e-3)
+        step = adapt.make_meta_step(fa, opt)
+        p2, _, m = step(params, opt.init(params), data, labels)
+        return p2, m
+
+    set_conv_impl("pallas")
+    try:
+        p_pal, m_pal = run()
+    finally:
+        set_conv_impl("direct")
+    p_xla, m_xla = run()
+    # bf16 compute graph: loose tolerances, but the two impls must track
+    np.testing.assert_allclose(m_pal["loss"], m_xla["loss"],
+                               rtol=2e-2, atol=2e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(p_pal),
+                    jax.tree_util.tree_leaves(p_xla)):
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-3)
+
+
+def test_non_omniglot_spec_falls_back(setup):
+    """Mini-ImageNet spec must silently use the XLA path under 'pallas'."""
+    spec = models.mini_imagenet_spec(ways=5)
+    params = models.init_cnn4(jax.random.key(0), spec)
+    x = jax.random.normal(jax.random.key(1), (4, 84, 84, 3))
+    set_conv_impl("pallas")
+    try:
+        got = cnn4_apply(params, spec, x)
+    finally:
+        set_conv_impl("direct")
+    want = cnn4_apply(params, spec, x)
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -60,6 +60,59 @@ def test_fused_rollout_vmap_with_per_task_params():
     assert loss.shape == (4,)
 
 
+def test_fused_cnn4_base_on_chip():
+    """Fused whole-base CNN4 kernels (pallas/cnn4_pallas.py) compiled on
+    the real chip: forward + first-order grads + vmapped-over-tasks
+    second-order meta-grads must match the XLA path. The CPU interpret
+    run (tests/test_pallas_cnn4.py) proves the math; this proves Mosaic
+    compiles the parity-decomposed taps and the 16-output backward."""
+    from exploring_meta_tpu import models
+    from exploring_meta_tpu.models.cnn4 import base_apply, omniglot_spec
+    from exploring_meta_tpu.ops.losses import cross_entropy
+    from exploring_meta_tpu.pallas.cnn4_pallas import fused_omni_base
+
+    spec = omniglot_spec(ways=5)
+    params = models.init_cnn4(jax.random.key(0), spec)
+    x = jax.random.normal(jax.random.key(1), (10, 28, 28, 1), jnp.float32)
+    y = jnp.arange(10) % 5
+
+    def pure_feats(blocks, xx):
+        return jnp.mean(base_apply(blocks, xx, max_pool=False), axis=(1, 2))
+
+    got = jax.jit(fused_omni_base)(params["base"], x)
+    want = jax.jit(pure_feats)(params["base"], x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def meta_loss(p, feats_fn):
+        def task_loss(pp):
+            feats = feats_fn(pp["base"], x)
+            logits = feats @ pp["head"]["w"] + pp["head"]["b"]
+            return cross_entropy(logits, y)
+        g = jax.grad(task_loss)(p)
+        adapted = jax.tree_util.tree_map(lambda a, b: a - 0.5 * b, p, g)
+        return task_loss(adapted)
+
+    g_pal = jax.jit(jax.grad(meta_loss), static_argnums=1)(
+        params, fused_omni_base)
+    g_xla = jax.jit(jax.grad(meta_loss), static_argnums=1)(
+        params, pure_feats)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-4)
+
+    # vmap over tasks with per-task (adapted) params — the meta-step shape
+    xb = jax.random.normal(jax.random.key(2), (4, 8, 28, 28, 1))
+    pb = jax.tree_util.tree_map(
+        lambda p: jnp.stack([p, p * 1.01, p * 0.99, p * 1.02]),
+        params["base"])
+    got = jax.jit(jax.vmap(fused_omni_base))(pb, xb)
+    want = jax.jit(jax.vmap(pure_feats))(pb, xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_rollout_per_task_sigma_lanes():
     """Regression for the task-major lane expansion of per-task sigma:
     task 0 runs with a collapsed sigma (deterministic: action == policy
