@@ -366,14 +366,17 @@ def measure_torch_cpu_trpo_baseline() -> float:
 
 def _measure_vision(anil: bool) -> float:
     from exploring_meta_tpu.models.layers import set_conv_impl, set_precision
-    # A/B knob for the space-to-depth stride-2 conv lowering (--conv_impl
-    # s2d; exact math, see models/layers.py). Always set BOTH ways so the
-    # knob can't leak into later configs of a --all run — and restore the
-    # MXU precision the vision configs flip (a leaked "default" would run
-    # every later --all config's matmuls in bf16, making BENCH_FULL rows
-    # incomparable with standalone --config runs).
-    set_conv_impl("s2d" if os.environ.get("EMT_BENCH_S2D") == "1"
-                  else "direct")
+    # A/B knob for the stride-2 conv lowering (--conv_impl; exact math,
+    # see models/layers.py): EMT_BENCH_CONV={direct,s2d,pallas}, with
+    # EMT_BENCH_S2D=1 kept as the legacy spelling. Always set BOTH ways
+    # so the knob can't leak into later configs of a --all run — and
+    # restore the MXU precision the vision configs flip (a leaked
+    # "default" would run every later --all config's matmuls in bf16,
+    # making BENCH_FULL rows incomparable with standalone --config runs).
+    conv = os.environ.get("EMT_BENCH_CONV", "")
+    if not conv:
+        conv = "s2d" if os.environ.get("EMT_BENCH_S2D") == "1" else "direct"
+    set_conv_impl(conv)
     try:
         return _measure_vision_inner(anil)
     finally:
@@ -480,7 +483,14 @@ def measure_tpu_trpo_particles() -> float:
                          adapt_batch_size=20, max_path_length=100)
     trpo_cfg = rl.TRPOConfig(outer_lr=1.0, max_kl=0.01, ls_max_steps=15,
                              backtrack_factor=0.5)
-    roll = rl.make_rollout(env, policy.sample, episodes=20, horizon=100)
+    if os.environ.get("EMT_BENCH_ROLLOUT") == "pallas":
+        # In-context A/B for the fused Particles2D rollout kernel
+        # (pallas/rollout_pallas.py) inside the full TRPO iteration.
+        from exploring_meta_tpu.pallas import make_fused_particles2d_rollout
+        roll = make_fused_particles2d_rollout(policy, episodes=20,
+                                              horizon=100)
+    else:
+        roll = rl.make_rollout(env, policy.sample, episodes=20, horizon=100)
     train = rl.make_trpo_train_scan(env, policy, roll, rl_cfg, trpo_cfg,
                                     TASKS, ITERS)
 
@@ -791,6 +801,37 @@ def measure_host_collect_sequential() -> float:
 # registry + main
 # ---------------------------------------------------------------------------
 
+def _measure_native_pool(n_threads: int, spin: bool = False,
+                         busy_us: float = 1000.0) -> float:
+    """Steps/sec of the C++ vecenv thread pool on the synthetic busy env
+    (vecenv.cpp BusyState): each step costs ``busy_us`` of C-side
+    simulated physics that does NOT hold the GIL. Sleep mode blocks
+    without holding the core (the shape of GIL-releasing physics from
+    the pool's perspective), so steps/sec must scale ~linearly in
+    n_threads even on this 1-core box — isolating the pool's fan-out
+    from MuJoCo/core-count limits (VERDICT r3 item 6)."""
+    import numpy as np
+    from exploring_meta_tpu.native.binding import NativeVecEnv
+    E, STEPS = 8, 50
+    env = NativeVecEnv("busy", n_envs=E, n_threads=n_threads,
+                       busy_us=busy_us, busy_spin=spin)
+    env.reset(np.zeros((E, 2)))
+    acts = np.zeros((E, 2))
+    env.step(acts)  # warm the pool
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        env.step(acts)
+    return E * STEPS / (time.perf_counter() - t0)
+
+
+def measure_native_pool_8threads() -> float:
+    return _measure_native_pool(8)
+
+
+def measure_native_pool_1thread() -> float:
+    return _measure_native_pool(1)
+
+
 CONFIGS = {
     "maml_omni": {
         "metric": "maml_omniglot_5w5s_cnn4_meta_train",
@@ -851,6 +892,12 @@ CONFIGS = {
         "unit": "seed_iterations/sec",
         "measure": measure_multiseed_vmapped,
         "baseline": measure_multiseed_serial,
+    },
+    "native_pool_sleep": {
+        "metric": "native_vecenv_pool_8threads_blocking_env",
+        "unit": "env_steps/sec",
+        "measure": measure_native_pool_8threads,
+        "baseline": measure_native_pool_1thread,
     },
 }
 

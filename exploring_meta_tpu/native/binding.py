@@ -74,6 +74,9 @@ def load_vecenv_library() -> ctypes.CDLL | None:
     lib.vecenv_create_python.argtypes = [RESET_CB, STEP_CB, ctypes.c_int,
                                          ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int]
+    lib.vecenv_create_busy.restype = ctypes.c_void_p
+    lib.vecenv_create_busy.argtypes = [ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_double, ctypes.c_int]
     _LIB_CACHE[path] = lib
     return lib
 
@@ -94,15 +97,24 @@ class NativeVecEnv:
     """
 
     def __init__(self, env_type: str = "particles2d", n_envs: int = 16,
-                 n_threads: int | None = None):
+                 n_threads: int | None = None, busy_us: float = 0.0,
+                 busy_spin: bool = False):
         self._lib = load_vecenv_library()
         if self._lib is None:
             raise RuntimeError("native vecenv library unavailable")
-        if env_type != "particles2d":
-            raise ValueError(f"unknown native env {env_type!r}")
         threads = n_threads if n_threads is not None else min(
             n_envs, os.cpu_count() or 1)
-        self._h = self._lib.vecenv_create_particles2d(n_envs, threads)
+        if env_type == "particles2d":
+            self._h = self._lib.vecenv_create_particles2d(n_envs, threads)
+        elif env_type == "busy":
+            # synthetic pool-scaling benchmark env (vecenv.cpp BusyState):
+            # each step costs busy_us of C-side simulated physics — sleep
+            # (blocking, core-free) or spin (core-burning)
+            self._h = self._lib.vecenv_create_busy(n_envs, threads,
+                                                   float(busy_us),
+                                                   int(busy_spin))
+        else:
+            raise ValueError(f"unknown native env {env_type!r}")
         self.n_envs = n_envs
         self.obs_size = self._lib.vecenv_obs_size(self._h)
         self.action_size = self._lib.vecenv_action_size(self._h)

@@ -16,10 +16,12 @@
 // C ABI only — bound from Python with ctypes (no pybind11 in this image).
 
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 #include <functional>
 #include <mutex>
 #include <thread>
@@ -209,12 +211,71 @@ static void py_shim_step(void* s, const double* action, double* obs,
 }
 
 // ---------------------------------------------------------------------------
+// Synthetic benchmark env: each step costs `busy_us` microseconds of
+// simulated physics entirely on the C side (no GIL involvement).
+// mode 0 (sleep): the step BLOCKS without holding the core
+// (nanosleep) — the shape of physics that waits on devices or releases
+// the GIL into another core's compute; the pool's fan-out should scale
+// steps/sec ~linearly in n_threads even on a 1-core host, proving the
+// batch path serializes nothing. mode 1 (spin): the step burns the core
+// (steady_clock spin) — on a k-core host this scales to ~k, on a 1-core
+// host it is flat by physics, which the bench records honestly.
+// ---------------------------------------------------------------------------
+
+struct BusyState {
+  double pos;
+  double busy_us;
+  int32_t spin;
+};
+
+static void busy_reset(void* s, const double* task, double* obs) {
+  auto* st = reinterpret_cast<BusyState*>(s);
+  st->pos = task[0];
+  obs[0] = st->pos;
+  obs[1] = 0.0;
+}
+
+static void busy_step(void* s, const double* action, double* obs,
+                      double* reward, double* done, double* success) {
+  auto* st = reinterpret_cast<BusyState*>(s);
+  if (st->spin) {
+    auto until = std::chrono::steady_clock::now() +
+                 std::chrono::nanoseconds((int64_t)(st->busy_us * 1000.0));
+    while (std::chrono::steady_clock::now() < until) {
+    }
+  } else if (st->busy_us > 0.0) {
+    struct timespec ts;
+    ts.tv_sec = (time_t)(st->busy_us / 1e6);
+    ts.tv_nsec = (long)((st->busy_us - ts.tv_sec * 1e6) * 1000.0);
+    nanosleep(&ts, nullptr);
+  }
+  st->pos += action[0];
+  obs[0] = st->pos;
+  obs[1] = action[1];
+  *reward = -st->pos * st->pos;
+  *done = 0.0;
+  *success = 0.0;
+}
+
+// ---------------------------------------------------------------------------
 // C API
 // ---------------------------------------------------------------------------
 
 void* vecenv_create_particles2d(int n_envs, int n_threads) {
   EnvVTable vt{p2d_reset, p2d_step, 2, 2, sizeof(P2DState)};
   return new VecEnv(vt, n_envs, n_threads);
+}
+
+void* vecenv_create_busy(int n_envs, int n_threads, double busy_us,
+                         int spin) {
+  EnvVTable vt{busy_reset, busy_step, 2, 2, sizeof(BusyState)};
+  auto* ve = new VecEnv(vt, n_envs, n_threads);
+  for (int i = 0; i < n_envs; ++i) {
+    auto* st = reinterpret_cast<BusyState*>(ve->states[i].data());
+    st->busy_us = busy_us;
+    st->spin = spin;
+  }
+  return ve;
 }
 
 void* vecenv_create_python(py_reset_fn reset, py_step_fn step, int obs_size,

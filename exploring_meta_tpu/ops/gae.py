@@ -25,9 +25,14 @@ def _pallas_ok(use_pallas: bool | None) -> bool:
     """Route to the fused Pallas kernels on TPU by default: XLA lowers
     these reverse scans to a sequential loop that measures ~1000x slower
     than the single-VMEM-pass kernel on this hardware (see
-    pallas/gae_pallas.py)."""
+    pallas/gae_pallas.py). ``EMT_GAE_PALLAS=0|1`` overrides for A/B
+    measurement (bench.py / chip_queue.sh)."""
     if use_pallas is not None:
         return use_pallas
+    import os
+    env = os.environ.get("EMT_GAE_PALLAS")
+    if env in ("0", "1"):
+        return env == "1"
     return jax.default_backend() == "tpu"
 
 
