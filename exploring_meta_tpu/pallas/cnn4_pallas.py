@@ -488,6 +488,259 @@ def _bwd_call_vmap(axis_size, in_batched, blocks, x, g):
 
 
 # ---------------------------------------------------------------------------
+# per-block fused kernels ("block" mode)
+#
+# Same math as the whole-base kernels, split into one Mosaic program per
+# conv-BN-ReLU block (4 fwd + 4 bwd programs instead of 1 + 1). The
+# r4s3 on-chip capture showed the whole-base programs OOM-killing the
+# remote compile helper at production shapes (N=25/task, meta-batch 32)
+# while unit-test shapes compiled in ~minutes each — Mosaic compile cost
+# grows superlinearly with program size, and the whole-base backward
+# (forward recompute + 4 blocks x 9 taps of dot/pad each) is the largest
+# program in the repo. The split keeps the fusion that pays: conv -> BN
+# -> ReLU never round-trips HBM (XLA can't fuse across BN's batch-stat
+# reduction); only the 4 small block-boundary activations do
+# (25 x (14^2 + 7^2 + 4^2 + 2^2) x 64 x 4 B ~ 1.7 MB/task/pass vs the
+# ~6 GB/iteration the meta-step moves).
+# ---------------------------------------------------------------------------
+
+def _p4(blk):
+    return (blk["conv"]["w"], blk["conv"]["b"],
+            blk["bn"]["scale"], blk["bn"]["bias"])
+
+
+def _blk_fwd_kernel(x_ref, w_ref, b_ref, s_ref, be_ref, out_ref):
+    x = x_ref[...].astype(jnp.float32)
+    w, b, s, be = (r[...].astype(jnp.float32)
+                   for r in (w_ref, b_ref, s_ref, be_ref))
+    a, _, _ = _block_fwd(x, w, b, s, be)
+    out_ref[...] = a.astype(out_ref.dtype)
+
+
+def _blk_bwd_kernel(x_ref, w_ref, b_ref, s_ref, be_ref, g_ref,
+                    dw_ref, db_ref, ds_ref, dbe_ref, dx_ref):
+    x = x_ref[...].astype(jnp.float32)
+    w, b, s, be = (r[...].astype(jnp.float32)
+                   for r in (w_ref, b_ref, s_ref, be_ref))
+    _, xh, inv = _block_fwd(x, w, b, s, be)
+    g = g_ref[...].astype(jnp.float32)
+    dy, ds, dbe = _block_bwd(g, xh, inv, s, be)
+    dw, db, dx = _conv_s2_bwd(x, dy, w)
+    for ref, val in zip((dw_ref, db_ref, ds_ref, dbe_ref, dx_ref),
+                        (dw, db, ds, dbe, dx)):
+        ref[...] = val.astype(ref.dtype)
+
+
+def _blk_fwd_call_single(p4, x):
+    w = p4[0]
+    ho, wo = _out_hw(x.shape[1]), _out_hw(x.shape[2])
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _blk_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], ho, wo, w.shape[3]),
+                                       x.dtype),
+        in_specs=[vspec] * 5,
+        out_specs=vspec,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *p4)
+
+
+def _blk_bwd_call_single(p4, x, g):
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in p4) \
+        + (jax.ShapeDtypeStruct(x.shape, x.dtype),)
+    return pl.pallas_call(
+        _blk_bwd_kernel,
+        out_shape=out_shape,
+        in_specs=[vspec] * 6,
+        out_specs=tuple([vspec] * 5),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *p4, g)
+
+
+def _blk_fwd_kernel_batched(x_ref, w_ref, b_ref, s_ref, be_ref, out_ref):
+    x = _read_task(x_ref).astype(jnp.float32)
+    w, b, s, be = (_read_task(r).astype(jnp.float32)
+                   for r in (w_ref, b_ref, s_ref, be_ref))
+    a, _, _ = _block_fwd(x, w, b, s, be)
+    out_ref[0] = a.astype(out_ref.dtype)
+
+
+def _blk_bwd_kernel_batched(x_ref, w_ref, b_ref, s_ref, be_ref, g_ref,
+                            dw_ref, db_ref, ds_ref, dbe_ref, dx_ref):
+    x = _read_task(x_ref).astype(jnp.float32)
+    w, b, s, be = (_read_task(r).astype(jnp.float32)
+                   for r in (w_ref, b_ref, s_ref, be_ref))
+    _, xh, inv = _block_fwd(x, w, b, s, be)
+    g = _read_task(g_ref).astype(jnp.float32)
+    dy, ds, dbe = _block_bwd(g, xh, inv, s, be)
+    dw, db, dx = _conv_s2_bwd(x, dy, w)
+    for ref, val in zip((dw_ref, db_ref, ds_ref, dbe_ref, dx_ref),
+                        (dw, db, ds, dbe, dx)):
+        ref[0] = val.reshape(ref.shape[1:]).astype(ref.dtype)
+
+
+def _blk_fwd_pallas_batched(p4, x):
+    flat = [_lift(p) for p in p4]
+    b, n = x.shape[0], x.shape[1]
+    ho, wo = _out_hw(x.shape[2]), _out_hw(x.shape[3])
+    co = p4[0].shape[-1]
+    ins = [x] + flat
+    return pl.pallas_call(
+        _blk_fwd_kernel_batched,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, n, ho, wo, co), x.dtype),
+        in_specs=[_task_spec(a) for a in ins],
+        out_specs=pl.BlockSpec((1, n, ho, wo, co),
+                               lambda t: (t, 0, 0, 0, 0)),
+        compiler_params=_COMPILER_PARAMS_BATCHED,
+        interpret=_interpret(),
+    )(*ins)
+
+
+def _blk_bwd_pallas_batched(p4, x, g):
+    flat = [_lift(p) for p in p4]
+    ins = [x] + flat + [g]
+    out_shape = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in flat) \
+        + (jax.ShapeDtypeStruct(x.shape, x.dtype),)
+    outs = pl.pallas_call(
+        _blk_bwd_kernel_batched,
+        grid=(x.shape[0],),
+        out_shape=out_shape,
+        in_specs=[_task_spec(a) for a in ins],
+        out_specs=tuple(_task_spec(o) for o in out_shape),
+        compiler_params=_COMPILER_PARAMS_BATCHED,
+        interpret=_interpret(),
+    )(*ins)
+    # un-lift [B, 1, C] param grads back to [B, C]
+    return tuple(o.reshape(o.shape[0], -1)
+                 if o.ndim == 3 and o.shape[1] == 1 else o for o in outs)
+
+
+@jax.custom_batching.custom_vmap
+def _blk_fwd_batched(p4, x):
+    return _blk_fwd_pallas_batched(p4, x)
+
+
+@_blk_fwd_batched.def_vmap
+def _blk_fwd_batched_vmap(axis_size, in_batched, p4, x):
+    p_b, x_b = in_batched
+    p4 = _bcast_tree(p4, p_b, axis_size)
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    b_inner = x.shape[1]
+    merge = lambda p: p.reshape((axis_size * b_inner,) + p.shape[2:])
+    out = _blk_fwd_batched(jax.tree_util.tree_map(merge, p4), merge(x))
+    return out.reshape((axis_size, b_inner) + out.shape[1:]), True
+
+
+@jax.custom_batching.custom_vmap
+def _blk_fwd(p4, x):
+    return _blk_fwd_call_single(p4, x)
+
+
+@_blk_fwd.def_vmap
+def _blk_fwd_vmap(axis_size, in_batched, p4, x):
+    p_b, x_b = in_batched
+    p4 = _bcast_tree(p4, p_b, axis_size)
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    return _blk_fwd_batched(p4, x), True
+
+
+@jax.custom_batching.custom_vmap
+def _blk_bwd_batched(p4, x, g):
+    return _blk_bwd_pallas_batched(p4, x, g)
+
+
+@_blk_bwd_batched.def_vmap
+def _blk_bwd_batched_vmap(axis_size, in_batched, p4, x, g):
+    p_b, x_b, g_b = in_batched
+    p4 = _bcast_tree(p4, p_b, axis_size)
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    if not g_b:
+        g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
+    b_inner = x.shape[1]
+    merge = lambda p: p.reshape((axis_size * b_inner,) + p.shape[2:])
+    outs = _blk_bwd_batched(jax.tree_util.tree_map(merge, p4),
+                            merge(x), merge(g))
+    split = lambda p: p.reshape((axis_size, b_inner) + p.shape[1:])
+    outs = tuple(split(o) for o in outs)
+    return outs, tuple(True for _ in outs)
+
+
+@jax.custom_batching.custom_vmap
+def _blk_bwd(p4, x, g):
+    return _blk_bwd_call_single(p4, x, g)
+
+
+@_blk_bwd.def_vmap
+def _blk_bwd_vmap(axis_size, in_batched, p4, x, g):
+    p_b, x_b, g_b = in_batched
+    p4 = _bcast_tree(p4, p_b, axis_size)
+    if not x_b:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    if not g_b:
+        g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
+    outs = _blk_bwd_batched(p4, x, g)
+    return outs, tuple(True for _ in outs)
+
+
+def _fwd_call_split(blocks, x):
+    """Block-mode base forward: 4 per-block kernels, pooling in XLA.
+
+    Plain traced glue — vmap over tasks reaches the per-block ops'
+    custom vmap rules directly; no chain-level rule needed."""
+    a = x
+    for blk in blocks:
+        a = _blk_fwd(_p4(blk), a)
+    return jnp.mean(a, axis=(-3, -2))
+
+
+def _bwd_call_split(blocks, x, g):
+    """Block-mode base backward: recompute the forward chain (block
+    boundaries round-trip HBM, intra-block stays in VMEM), then walk the
+    per-block backward kernels."""
+    acts = [x]
+    for blk in blocks:
+        acts.append(_blk_fwd(_p4(blk), acts[-1]))
+    h_last, w_last = acts[-1].shape[-3], acts[-1].shape[-2]
+    da = jnp.broadcast_to(
+        (g / (h_last * w_last))[..., None, None, :], acts[-1].shape)
+    dblocks = [None] * len(blocks)
+    for i in reversed(range(len(blocks))):
+        dw, db, ds, dbe, da = _blk_bwd(_p4(blocks[i]), acts[i], da)
+        dblocks[i] = {"conv": {"w": dw, "b": db},
+                      "bn": {"scale": ds, "bias": dbe}}
+    return dblocks, da
+
+
+# ---------------------------------------------------------------------------
+# kernel-mode switch
+# ---------------------------------------------------------------------------
+
+_KERNEL_MODE: str | None = None
+
+
+def set_cnn4_kernel_mode(mode: str | None) -> None:
+    """"whole" = single whole-base programs, "block" = per-block
+    programs, None = defer to ``EMT_CNN4_PALLAS`` (default "whole")."""
+    global _KERNEL_MODE
+    assert mode in (None, "whole", "block")
+    _KERNEL_MODE = mode
+
+
+def _kernel_mode() -> str:
+    if _KERNEL_MODE is not None:
+        return _KERNEL_MODE
+    import os
+    return os.environ.get("EMT_CNN4_PALLAS", "whole")
+
+
+# ---------------------------------------------------------------------------
 # reference (XLA) formulation — double-backward + numerics oracle
 # ---------------------------------------------------------------------------
 
@@ -515,6 +768,8 @@ def _pure_grads(blocks, x, g):
 # the tangents, hence transposable by the outer reverse pass.
 @jax.custom_jvp
 def _fwd_op(blocks, x):
+    if _kernel_mode() == "block":
+        return _fwd_call_split(blocks, x)
     return _fwd_call(blocks, x)
 
 
@@ -527,6 +782,8 @@ def _fwd_op_jvp(primals, tangents):
 
 @jax.custom_jvp
 def _bwd_op(blocks, x, g):
+    if _kernel_mode() == "block":
+        return _bwd_call_split(blocks, x, g)
     return _bwd_call(blocks, x, g)
 
 

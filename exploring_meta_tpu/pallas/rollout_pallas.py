@@ -63,10 +63,18 @@ def _std_normal(shape):
 def _rollout_kernel(B, E, horizon, max_action, goal_threshold, activation,
                     seed_ref, goal_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     w3_ref, b3_ref, sigma_ref,
-                    states_ref, actions_ref, rewards_ref, dones_ref,
-                    next_states_ref, success_ref, valid_ref,
+                    states_x_ref, states_y_ref, actions_x_ref, actions_y_ref,
+                    next_x_ref, next_y_ref, rewards_ref, dones_ref,
+                    success_ref, valid_ref,
                     pos_ref, done_ref, loc_ref, scale_ref):
-    """Lanes are B tasks x E episodes, laid out task-major."""
+    """Lanes are B tasks x E episodes, laid out task-major.
+
+    Vector outputs (state/action/next_state) are emitted as per-coordinate
+    ``[T, L]`` planes and stacked to ``[T, L, 2]`` OUTSIDE the kernel: a
+    ``[T, L, 2]`` VMEM ref tiles its trailing dim to 128 lanes, so each
+    such output would cost 64x its logical bytes and blow the 16 MiB
+    scoped-VMEM limit at meta-batch scale (L = tasks x episodes = 400
+    padded to [100, 400, 128] = 20.5 MiB per array)."""
     pltpu.prng_seed(seed_ref[0])
 
     pos_ref[:, :] = jnp.zeros_like(pos_ref)
@@ -122,9 +130,12 @@ def _rollout_kernel(B, E, horizon, max_action, goal_threshold, activation,
         is_last = (t == horizon - 1).astype(jnp.float32)
         done_rec = jnp.maximum(new_done, is_last * valid)
 
-        states_ref[t, :, :] = pos
-        actions_ref[t, :, :] = action
-        next_states_ref[t, :, :] = new_pos
+        states_x_ref[t, :] = pos[:, 0]
+        states_y_ref[t, :] = pos[:, 1]
+        actions_x_ref[t, :] = action[:, 0]
+        actions_y_ref[t, :] = action[:, 1]
+        next_x_ref[t, :] = new_pos[:, 0]
+        next_y_ref[t, :] = new_pos[:, 1]
         rewards_ref[t, :] = (-dist * valid)[:, 0]
         dones_ref[t, :] = done_rec[:, 0]
         success_ref[t, :] = (done_now * valid)[:, 0]
@@ -143,15 +154,10 @@ def _build_call(B: int, E: int, horizon: int, max_action: float,
     T, L = horizon, B * E
     kernel = partial(_rollout_kernel, B, E, T, max_action, goal_threshold,
                      activation)
-    out_shapes = (
-        jax.ShapeDtypeStruct((T, L, 2), jnp.float32),   # states
-        jax.ShapeDtypeStruct((T, L, 2), jnp.float32),   # actions
-        jax.ShapeDtypeStruct((T, L), jnp.float32),      # rewards
-        jax.ShapeDtypeStruct((T, L), jnp.float32),      # dones
-        jax.ShapeDtypeStruct((T, L, 2), jnp.float32),   # next_states
-        jax.ShapeDtypeStruct((T, L), jnp.float32),      # success
-        jax.ShapeDtypeStruct((T, L), jnp.float32),      # valid
-    )
+    # 10 per-coordinate [T, L] planes (see _rollout_kernel docstring):
+    # states_x/y, actions_x/y, next_x/y, rewards, dones, success, valid.
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((T, L), jnp.float32) for _ in range(10))
     return pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -185,7 +191,11 @@ def make_fused_particles2d_rollout(policy: DiagNormalPolicy, episodes: int,
         call = _build_call(B, E, T, max_action, goal_threshold,
                            policy.activation,
                            jax.default_backend() == "cpu")
-        return call(seed, goals, w1, b1, w2, b2, w3, b3, sigma)
+        (sx, sy, ax, ay, nx, ny, rew, done, suc, val) = call(
+            seed, goals, w1, b1, w2, b2, w3, b3, sigma)
+        # Re-assemble [T, L, 2] vectors outside the kernel (XLA-land).
+        return (jnp.stack([sx, sy], axis=-1), jnp.stack([ax, ay], axis=-1),
+                rew, done, jnp.stack([nx, ny], axis=-1), suc, val)
 
     def flat_params(params):
         m = params["mean"]

@@ -22,19 +22,28 @@ from exploring_meta_tpu.models.cnn4 import (
 )
 from exploring_meta_tpu.models.layers import set_conv_impl
 from exploring_meta_tpu.ops.losses import cross_entropy
-from exploring_meta_tpu.pallas.cnn4_pallas import fused_omni_base
+from exploring_meta_tpu.pallas.cnn4_pallas import (
+    fused_omni_base, set_cnn4_kernel_mode,
+)
 
 
 def _pure_feats(blocks, x):
     return jnp.mean(base_apply(blocks, x, max_pool=False), axis=(1, 2))
 
 
-@pytest.fixture
-def setup():
-    spec = omniglot_spec(ways=5)
-    params = models.init_cnn4(jax.random.key(0), spec)
-    x = jax.random.normal(jax.random.key(1), (10, 28, 28, 1), jnp.float32)
-    return spec, params, x
+@pytest.fixture(params=["whole", "block"])
+def setup(request):
+    """Every test runs under BOTH kernel modes (whole-base single
+    Mosaic program vs per-block programs — pallas/cnn4_pallas.py)."""
+    set_cnn4_kernel_mode(request.param)
+    try:
+        spec = omniglot_spec(ways=5)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        x = jax.random.normal(jax.random.key(1), (10, 28, 28, 1),
+                              jnp.float32)
+        yield spec, params, x
+    finally:
+        set_cnn4_kernel_mode(None)
 
 
 def test_forward_matches_xla(setup):
@@ -85,7 +94,16 @@ def test_vmap_broadcast_and_batched_params(setup):
 
 
 def test_second_order_meta_grad_matches(setup):
-    """grad THROUGH the inner jax.grad — the MAML meta-gradient path."""
+    """grad THROUGH the inner jax.grad — the MAML meta-gradient path.
+
+    inner_lr must stay small here: at lr=0.5 the f32 meta-grad through
+    batch-stat BN is ill-conditioned enough that the PURE XLA path
+    differs from itself by 1.6e-2 across backend configs (1-device vs
+    8-virtual-device CPU; 1.7e-2 vs an f64 ground truth) — any
+    f32-vs-f32 comparison there chases reduction-order noise. At
+    lr=0.05 the same pure-vs-f64 gap is 2e-6, while a genuinely wrong
+    second-order term would still show at ~1e-3 against these
+    tolerances."""
     spec, params, x = setup
     y = jnp.arange(10) % 5
 
@@ -98,7 +116,7 @@ def test_second_order_meta_grad_matches(setup):
         g = jax.grad(task_loss)(p)
         if first_order:
             g = jax.lax.stop_gradient(g)
-        adapted = jax.tree_util.tree_map(lambda a, b: a - 0.5 * b, p, g)
+        adapted = jax.tree_util.tree_map(lambda a, b: a - 0.05 * b, p, g)
         return task_loss(adapted)
 
     for fo in (False, True):
