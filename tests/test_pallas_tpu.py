@@ -60,12 +60,23 @@ def test_fused_rollout_vmap_with_per_task_params():
     assert loss.shape == (4,)
 
 
-def test_fused_cnn4_base_on_chip():
-    """Fused whole-base CNN4 kernels (pallas/cnn4_pallas.py) compiled on
-    the real chip: forward + first-order grads + vmapped-over-tasks
-    second-order meta-grads must match the XLA path. The CPU interpret
-    run (tests/test_pallas_cnn4.py) proves the math; this proves Mosaic
-    compiles the parity-decomposed taps and the 16-output backward."""
+@pytest.fixture(params=["whole", "block"])
+def cnn4_kernel_mode(request):
+    from exploring_meta_tpu.pallas.cnn4_pallas import set_cnn4_kernel_mode
+    set_cnn4_kernel_mode(request.param)
+    try:
+        yield request.param
+    finally:
+        set_cnn4_kernel_mode(None)
+
+
+def test_fused_cnn4_base_on_chip(cnn4_kernel_mode):
+    """Fused CNN4 kernels (pallas/cnn4_pallas.py) compiled on the real
+    chip in BOTH modes (whole-base programs vs per-block programs):
+    forward + first-order grads + vmapped-over-tasks second-order
+    meta-grads must match the XLA path. The CPU interpret run
+    (tests/test_pallas_cnn4.py) proves the math; this proves Mosaic
+    compiles the parity-decomposed taps and the multi-output backward."""
     from exploring_meta_tpu import models
     from exploring_meta_tpu.models.cnn4 import base_apply, omniglot_spec
     from exploring_meta_tpu.ops.losses import cross_entropy
