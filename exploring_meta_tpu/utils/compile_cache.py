@@ -67,6 +67,20 @@ def enable_compile_cache(path: str | None = None, *,
         path = os.path.join(os.path.expanduser("~"), ".cache",
                             "exploring_meta_tpu", "xla")
     os.makedirs(path, exist_ok=True)
+    # jax latches the first cache directory it initializes with
+    # (compilation_cache._cache_initialized) and silently ignores later
+    # jax_compilation_cache_dir updates — re-pointing mid-process (e.g.
+    # a script enabling its own dir after the test conftest or another
+    # entry point already used one) must drop the latch first. The latch
+    # is the module globals, NOT the config value (the config dir can be
+    # nulled while the latched cache object lives on), so inspect those.
+    from jax._src import compilation_cache as _cc
+    _latched = getattr(_cc, "_cache", None)
+    if getattr(_cc, "_cache_initialized", False) or _latched is not None:
+        _latched_path = (str(getattr(_latched, "_path", ""))
+                         if _latched is not None else None)
+        if _latched_path != path:
+            _cc.reset_cache()
     jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

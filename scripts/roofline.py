@@ -77,6 +77,9 @@ def main():
     p.add_argument("--meta_batch", type=int, default=32)
     p.add_argument("--time", action="store_true",
                    help="also ground-truth-time the program (10 steps)")
+    p.add_argument("--mem", action="store_true",
+                   help="report XLA memory_analysis (physical/padded buffer "
+                        "sizes) next to the logical cost-analysis bytes")
     args = p.parse_args()
 
     from exploring_meta_tpu.utils.config import force_cpu_if_requested
@@ -110,6 +113,34 @@ def main():
                    byts / (PEAK_HBM_GBS * 1e9)) * 1e3
     print(f"roofline bound: {bound_ms:.2f} ms/program at v5e peaks "
           f"({PEAK_TFLOPS_BF16:.0f} TF/s bf16, {PEAK_HBM_GBS:.0f} GB/s)")
+
+    if args.mem:
+        # Physical (padded, tiled) buffer sizes from the compiler, vs the
+        # logical bytes above. TPU tiles arrays to (8,128)/f32, (16,128)/bf16
+        # — small trailing dims (e.g. 3-channel RGB, 32-channel conv stacks)
+        # inflate the real HBM traffic well past the logical byte count, so a
+        # "78% of HBM peak (logical)" row can be the hardware running at the
+        # wall. ``memory_analysis`` reports allocation, not traffic, but the
+        # arg/output/temp split bounds the padding multiplier on each stream.
+        ma = compiled.memory_analysis()
+        if ma is None:
+            print("memory_analysis: unavailable on this backend")
+        else:
+            def _get(name):
+                v = getattr(ma, name, None)
+                return f"{v/1e9:.3f} GB" if isinstance(v, (int, float)) else "?"
+            print(f"memory_analysis (physical): args={_get('argument_size_in_bytes')} "
+                  f"out={_get('output_size_in_bytes')} "
+                  f"temp={_get('temp_size_in_bytes')} "
+                  f"peak={_get('peak_memory_in_bytes')}")
+            logical_args = sum(x.size * x.dtype.itemsize
+                               for x in jax.tree_util.tree_leaves(call_args)
+                               if hasattr(x, "dtype"))
+            phys = getattr(ma, "argument_size_in_bytes", None)
+            if isinstance(phys, (int, float)) and logical_args:
+                print(f"argument padding multiplier: {phys/logical_args:.2f}x "
+                      f"(physical {phys/1e9:.3f} GB / logical "
+                      f"{logical_args/1e9:.3f} GB)")
 
     if args.time:
         out = step(*call_args)

@@ -15,9 +15,8 @@ import os
 import jax
 import pytest
 
-# Tests never use the persistent compile cache (Experiment turns it on by
-# default): CPU AOT cache loads warn loudly on machine-feature mismatches
-# and tiny test programs recompile faster than they deserialize.
+# Default the package-level compile cache off; the CPU branch below
+# re-points it (and raw-jax subprocesses) at the shared suite cache.
 os.environ.setdefault("EMT_COMPILE_CACHE", "off")
 
 if os.environ.get("EMT_TEST_TPU") != "1":
@@ -26,6 +25,30 @@ if os.environ.get("EMT_TEST_TPU") != "1":
         os.environ["XLA_FLAGS"] = (
             _flags + " --xla_force_host_platform_device_count=8").strip()
     jax.config.update("jax_platforms", "cpu")
+    # Suite-local persistent XLA cache: the handful of fused-trainer/mesh
+    # tests each burn 20-60 s compiling the same big CPU programs every
+    # run. Unlike the package default (off on CPU because the axon REMOTE
+    # compile service produces AOT code for a different machine), tests
+    # compile in-process on this host, so cached entries are safe to
+    # reload. Tiny programs stay uncached (min_compile_time_secs) — they
+    # recompile faster than they deserialize. Delete .pytest_xla_cache/
+    # to measure cold-compile behavior.
+    if os.environ.get("EMT_TEST_COMPILE_CACHE", "1") == "1":
+        _cache_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), os.pardir,
+                         ".pytest_xla_cache"))
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Subprocess-spawned scripts (roofline/sweep/trainer CLIs) must
+        # share the cache too — they re-compile the very biggest programs
+        # otherwise. EMT_COMPILE_CACHE feeds enable_compile_cache-aware
+        # entry points; the JAX_* vars cover scripts that configure jax
+        # directly.
+        os.environ["EMT_COMPILE_CACHE"] = _cache_dir
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
+        os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2.0"
+        os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
 # EMT_TEST_TPU=1 runs the suite on the real TPU backend instead (used for
 # the TPU-only Pallas kernel tests; run those alone — the tunnel is slow).
 
