@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Chain a chip queue behind a running one: wait for "DONE" (or the pid
+# exiting) on the first queue, then launch the second. NEVER two
+# TPU-touching python processes at once — this enforces the serial rule
+# across queue scripts.
+# Usage: setsid nohup bash scripts/chain_queue.sh <pidfile> <donelog> <next_script> &
+set -u
+PIDFILE=$1; DONELOG=$2; NEXT=$3
+# PITFALL: `setsid nohup bash q.sh & echo $! > pidfile` records the pid of
+# the setsid LAUNCHER, which forks and exits immediately — the dead-pid
+# check would then fire the next queue while the first still runs (two TPU
+# processes). The pidfile must hold the real `bash q.sh` pid (ps aux).
+# Defense below: only trust pid-death after seeing the pid ALIVE once.
+SEEN_ALIVE=0
+while true; do
+  if grep -q "DONE" "$DONELOG" 2>/dev/null; then break; fi
+  PID=$(cat "$PIDFILE" 2>/dev/null || echo "")
+  if [ -n "$PID" ]; then
+    if kill -0 "$PID" 2>/dev/null; then
+      SEEN_ALIVE=1
+    elif [ "$SEEN_ALIVE" = 1 ]; then
+      break
+    fi
+  fi
+  sleep 60
+done
+sleep 10
+exec bash "$NEXT"
