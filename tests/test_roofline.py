@@ -27,11 +27,15 @@ def _gflop(text):
 
 @pytest.mark.slow
 def test_reports_costs_and_regime():
-    text = _run("--config", "maml_omni")
+    text = _run("--config", "maml_omni", "--mem")
     assert "GFLOP" in text and "GB accessed" in text
     assert "arithmetic intensity" in text
     assert "bandwidth-bound regime" in text  # CNN4 meta-step is memory-bound
     assert "roofline bound" in text
+    # --mem: XLA memory_analysis physical buffer report + the
+    # physical/logical argument padding multiplier (residual instrument)
+    assert "memory_analysis (physical)" in text
+    assert "argument padding multiplier" in text
 
 
 @pytest.mark.slow
