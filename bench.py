@@ -409,7 +409,9 @@ def _measure_vision_inner(anil: bool) -> float:
     params = models.init_cnn4(jax.random.key(0), spec)
     fast_adapt = adapt.make_vision_fast_adapt(
         spec, inner_lr=0.5, adapt_steps=ADAPT_STEPS, shots=SHOTS, ways=WAYS,
-        anil=anil)
+        anil=anil,
+        # A/B knob for the ANIL body FLOPs-for-bytes remat (adapt/vision.py)
+        remat_body=os.environ.get("EMT_BENCH_REMAT") == "1")
     fast_adapt = adapt.cast_compute(fast_adapt)
     opt = optax.adam(3e-3)
     opt_state = opt.init(params)

@@ -38,8 +38,14 @@ _interleave_split = split_support_query
 
 def make_vision_fast_adapt(spec: CNN4Spec, inner_lr: float, adapt_steps: int,
                            shots: int, ways: int, anil: bool = False,
-                           first_order: bool = False) -> Callable:
-    """-> ``fast_adapt(params, data, labels) -> TaskResult`` for one task."""
+                           first_order: bool = False,
+                           remat_body: bool = False) -> Callable:
+    """-> ``fast_adapt(params, data, labels) -> TaskResult`` for one task.
+
+    ``remat_body`` (ANIL only): checkpoint each body conv block so the
+    meta-gradient's body backward recomputes block internals instead of
+    re-reading them from HBM — a FLOPs-for-bytes trade aimed at the
+    bandwidth-bound ANIL-min step (see models/cnn4.py:base_apply)."""
 
     if not anil:
         def loss_and_metric(params, batch):
@@ -58,7 +64,7 @@ def make_vision_fast_adapt(spec: CNN4Spec, inner_lr: float, adapt_steps: int,
 
     def fast_adapt_anil(params, data, labels) -> TaskResult:
         # Encode the whole task batch once with the (inner-frozen) body.
-        feats = cnn4_features(params, spec, data)
+        feats = cnn4_features(params, spec, data, remat=remat_body)
         (f_s, y_s), (f_q, y_q) = _interleave_split(feats, labels, shots, ways)
 
         def head_loss(head, batch):

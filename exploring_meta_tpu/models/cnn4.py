@@ -109,16 +109,26 @@ def conv_block_apply(p: dict, x: jnp.ndarray, max_pool: bool) -> jnp.ndarray:
 
 
 def base_apply(base: list, x: jnp.ndarray, max_pool: bool,
-               n_blocks: int | None = None) -> jnp.ndarray:
+               n_blocks: int | None = None,
+               remat: bool = False) -> jnp.ndarray:
     """Run the first ``n_blocks`` conv blocks (all by default) — the
-    activation tap used by ``get_rep_layer``."""
+    activation tap used by ``get_rep_layer``.
+
+    ``remat=True`` checkpoints each block: the backward pass recomputes
+    block internals (conv output, BN normalization) from the block input
+    instead of loading them from HBM — a FLOPs-for-bytes trade for
+    bandwidth-bound steps (the ANIL-min meta-step runs at ~8% MXU /
+    ~100% physical HBM, BASELINE.md r4s6b-r4s8)."""
     blocks = base if n_blocks is None else base[:n_blocks]
+    block = (jax.checkpoint(conv_block_apply, static_argnums=(2,))
+             if remat else conv_block_apply)
     for p in blocks:
-        x = conv_block_apply(p, x, max_pool)
+        x = block(p, x, max_pool)
     return x
 
 
-def cnn4_features(params: dict, spec: CNN4Spec, x: jnp.ndarray) -> jnp.ndarray:
+def cnn4_features(params: dict, spec: CNN4Spec, x: jnp.ndarray,
+                  remat: bool = False) -> jnp.ndarray:
     """Base output flattened to the head input ([N, head_in]).
 
     Under ``set_conv_impl("pallas")`` the Omniglot-shaped base (stride-2
@@ -131,7 +141,7 @@ def cnn4_features(params: dict, spec: CNN4Spec, x: jnp.ndarray) -> jnp.ndarray:
             and not spec.max_pool and spec.layers == 4):
         from exploring_meta_tpu.pallas.cnn4_pallas import fused_omni_base
         return fused_omni_base(params["base"], x)
-    x = base_apply(params["base"], x, spec.max_pool)
+    x = base_apply(params["base"], x, spec.max_pool, remat=remat)
     if spec.global_pool:
         return jnp.mean(x, axis=(1, 2))
     return x.reshape(x.shape[0], -1)

@@ -60,6 +60,16 @@ class Trajectory(NamedTuple):
         (reference ``get_ep_successes``, rl.py:59-72)."""
         return (jnp.sum(self.success * self.valid, axis=0) > 0).astype(jnp.float32)
 
+    def episode_success_steps(self) -> jnp.ndarray:
+        """[E] int32 index of the first successful valid step, -1 if the
+        episode never succeeds (reference ``get_success_per_ep``,
+        rl.py:75-92 — whose ``success_step`` its CL driver computes and
+        then discards, ``misc_scripts/cl_rl.py:109``; exposed here so CL
+        adapt-progress artifacts can report it)."""
+        hit = (self.success * self.valid) > 0.1          # [T, E]
+        first = jnp.argmax(hit, axis=0).astype(jnp.int32)
+        return jnp.where(jnp.any(hit, axis=0), first, -1)
+
 
 def rollout(env, policy_sample: Callable, params, task, key,
             episodes: int, horizon: int) -> Trajectory:

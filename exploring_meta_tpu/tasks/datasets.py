@@ -155,11 +155,29 @@ def load_mini_imagenet(seed: int = 42, synthetic: bool | None = None,
     return tuple(out)
 
 
-def get_dataset(name: str, seed: int = 42, synthetic: bool | None = None):
+def get_dataset(name: str, seed: int = 42, synthetic: bool | None = None,
+                synth_classes: int = 0, synth_per_class: int = 0):
     """Name-routed factory: ``omni`` | ``min`` (reference's dataset toggle,
-    ``vision/maml_vision.py:40``)."""
+    ``vision/maml_vision.py:40``).
+
+    ``synth_classes``/``synth_per_class`` (0 = small hermetic defaults)
+    size the synthetic fallback; at the real dataset shape that is
+    ``omni: 1623 classes x 20`` (``data_pre.py:17-39``) and
+    ``min: 64/16/20 classes x 600`` (``data_pre.py:70-110``)."""
     if name in ("omni", "omniglot"):
-        return load_omniglot(seed=seed, synthetic=synthetic)
+        kw = {}
+        if synth_classes:
+            kw["synthetic_classes"] = synth_classes
+        if synth_per_class:
+            kw["synthetic_per_class"] = synth_per_class
+        return load_omniglot(seed=seed, synthetic=synthetic, **kw)
     if name in ("min", "mini-imagenet", "mini_imagenet"):
-        return load_mini_imagenet(seed=seed, synthetic=synthetic)
+        if synth_classes:
+            raise ValueError("mini-ImageNet class counts are fixed by the "
+                             "dataset definition (64/16/20); only "
+                             "synth_per_class is tunable (real shape: 600)")
+        kw = {}
+        if synth_per_class:
+            kw["synthetic_per_class"] = synth_per_class
+        return load_mini_imagenet(seed=seed, synthetic=synthetic, **kw)
     raise ValueError(f"unknown dataset {name!r}")

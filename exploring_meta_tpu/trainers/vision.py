@@ -47,7 +47,9 @@ class VisionTrainer(Experiment):
     def run(self) -> float:
         cfg = self.cfg
         train_ds, valid_ds, test_ds = tasks.get_dataset(
-            cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
+            cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None,
+            synth_classes=getattr(cfg, "synth_classes", 0),
+            synth_per_class=getattr(cfg, "synth_per_class", 0))
 
         # Always set it — a previous trainer in this process may have left
         # the module default on another lowering.
@@ -62,7 +64,8 @@ class VisionTrainer(Experiment):
 
         fast_adapt = adapt.make_vision_fast_adapt(
             spec, inner_lr=cfg.inner_lr, adapt_steps=cfg.adapt_steps,
-            shots=cfg.shots, ways=cfg.ways, anil=self.anil)
+            shots=cfg.shots, ways=cfg.ways, anil=self.anil,
+            remat_body=getattr(cfg, "remat_body", False))
         if cfg.bf16:
             # Mixed precision: bf16 compute graph, f32 master params/Adam
             # (the meta-step is HBM-bandwidth-bound; see BASELINE.md).

@@ -74,12 +74,21 @@ def enable_compile_cache(path: str | None = None, *,
     # entry point already used one) must drop the latch first. The latch
     # is the module globals, NOT the config value (the config dir can be
     # nulled while the latched cache object lives on), so inspect those.
+    # These are jax._src private internals; the getattr guards keep a
+    # future rename from crashing, and tests/test_compile_cache.py::
+    # test_repoint_drops_latch fails loudly if a rename silently
+    # disables the reset (reverting to the stale-dir bug).
     from jax._src import compilation_cache as _cc
     _latched = getattr(_cc, "_cache", None)
     if getattr(_cc, "_cache_initialized", False) or _latched is not None:
         _latched_path = (str(getattr(_latched, "_path", ""))
                          if _latched is not None else None)
-        if _latched_path != path:
+        # realpath both sides: trailing slashes / relative segments /
+        # symlinks to the same dir are the SAME cache (a mismatch here
+        # only costs a harmless reset, but spurious resets drop the
+        # in-memory latch every call).
+        if (_latched_path is None
+                or os.path.realpath(_latched_path) != os.path.realpath(path)):
             _cc.reset_cache()
     jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -41,6 +41,10 @@ class VisionConfig:
     seed: int = 42
     # TPU-native extras
     synthetic: bool = False      # force synthetic data (hermetic envs)
+    synth_classes: int = 0       # synthetic dataset class count (0 = small
+                                 # hermetic default; 1623 = real Omniglot shape)
+    synth_per_class: int = 0     # synthetic samples/class (0 = default;
+                                 # 20 omni / 600 min = real shape)
     mesh: int = 1                # devices for task-DP sharding
     use_wandb: bool = False
     resume: str = ""             # checkpoint .npz to resume from (new capability)
@@ -49,6 +53,8 @@ class VisionConfig:
     fuse: int = 1                # iterations fused per XLA program (lax.scan)
     async_ckpt: bool = False     # checkpoint writes on a background thread
     bf16: bool = False           # bf16 compute graph, f32 master params
+    remat_body: bool = False     # ANIL: checkpoint body conv blocks
+                                 # (FLOPs-for-bytes; see adapt/vision.py)
     conv_impl: str = "direct"    # stride-2 conv lowering: "direct" | "s2d"
                                  # | "pallas" (fused whole-base kernels)
     nan_guard: bool = True       # stop + save when train loss goes non-finite
@@ -93,6 +99,13 @@ def vision_argparser(defaults: VisionConfig,
     p.add_argument("--synthetic", action="store_true",
                    default=defaults.synthetic,
                    help="Use synthetic data (no downloads)")
+    p.add_argument("--synth_classes", type=int, default=defaults.synth_classes,
+                   help="synthetic dataset class count (0 = small hermetic "
+                        "default; 1623 = real FullOmniglot shape)")
+    p.add_argument("--synth_per_class", type=int,
+                   default=defaults.synth_per_class,
+                   help="synthetic samples per class (0 = default; real "
+                        "shape is 20 for omni, 600 for min)")
     p.add_argument("--mesh", type=int, default=defaults.mesh,
                    help="Devices for task-DP sharding")
     p.add_argument("--wandb", dest="use_wandb", action="store_true",
@@ -126,6 +139,11 @@ def vision_argparser(defaults: VisionConfig,
                    help="persistent XLA compilation cache directory "
                         "(default ~/.cache/exploring_meta_tpu/xla; "
                         "'off' disables) — re-runs skip recompilation")
+    p.add_argument("--remat_body", action="store_true",
+                   default=defaults.remat_body,
+                   help="ANIL: rematerialize body conv blocks in the "
+                        "meta-gradient backward (trade FLOPs for HBM "
+                        "bytes on the bandwidth-bound ANIL-min step)")
     p.add_argument("--conv_impl", choices=["direct", "s2d", "pallas"],
                    default=defaults.conv_impl,
                    help="stride-2 conv lowering: direct conv, the exact "

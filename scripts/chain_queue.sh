@@ -12,8 +12,13 @@ PIDFILE=$1; DONELOG=$2; NEXT=$3
 # processes). The pidfile must hold the real `bash q.sh` pid (ps aux).
 # Defense below: only trust pid-death after seeing the pid ALIVE once.
 SEEN_ALIVE=0
+# Queue logs are appended (tee -a), so a stale "DONE" from a previous run
+# of the same queue must not fire the chain early: record the donelog
+# length at chain start and only match DONE lines appended after launch.
+BASE_LINES=$(wc -l <"$DONELOG" 2>/dev/null || echo 0)
 while true; do
-  if grep -q "DONE" "$DONELOG" 2>/dev/null; then break; fi
+  if tail -n "+$((BASE_LINES + 1))" "$DONELOG" 2>/dev/null \
+      | grep -q "DONE"; then break; fi
   PID=$(cat "$PIDFILE" 2>/dev/null || echo "")
   if [ -n "$PID" ]; then
     if kill -0 "$PID" 2>/dev/null; then

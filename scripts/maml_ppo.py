@@ -1,21 +1,13 @@
 #!/usr/bin/env python3
-"""MAML-PPO meta-RL (CLI parity with reference rl/maml_ppo.py)."""
+"""Shim over exploring_meta_tpu.cli.maml_ppo (the installable ``emt-maml-ppo``);
+kept so repo-root invocation works without installing the package."""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from exploring_meta_tpu.utils.config import RLScriptConfig, rl_argparser
-from exploring_meta_tpu.trainers.rl import RLTrainer
-
-
-def main():
-    defaults = RLScriptConfig()
-    args = rl_argparser(defaults, "MAML-PPO on Meta-RL").parse_args()
-    cfg = RLScriptConfig(**vars(args))
-    RLTrainer(cfg, algo="ppo", anil=False).run()
-
+from exploring_meta_tpu.cli import maml_ppo as main
 
 if __name__ == "__main__":
     main()

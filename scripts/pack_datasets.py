@@ -1,98 +1,17 @@
 #!/usr/bin/env python3
-"""One-time host-side packing of real datasets into device-ready arrays.
+"""Shim over exploring_meta_tpu.tasks.pack / cli.pack_datasets (the
+installable ``emt-pack-datasets``); kept so repo-root invocation works
+without installing the package."""
 
-Converts the original downloads into the packed ``[n_classes,
-n_per_class, H, W, C]`` uint8 arrays the on-device sampler gathers from
-(exploring_meta_tpu/tasks/datasets.py) — the TPU-native replacement for
-the reference's per-sample PIL pipeline (``utils/data_pre.py:16-35``):
-
-- Omniglot: images_background + images_evaluation directories (1623
-  character classes x 20 samples), resized to 28x28 with LANCZOS.
-  NOTE: images are stored raw; the invert (1 - x) happens on device.
-- Mini-ImageNet: the standard ``mini-imagenet-cache-{split}.pkl`` pickles
-  (84x84x3, 600 images/class).
-
-Usage:
-  python scripts/pack_datasets.py omniglot --src ~/data/omniglot-py --out ~/data/exploring_meta_tpu
-  python scripts/pack_datasets.py mini-imagenet --src ~/data --out ~/data/exploring_meta_tpu
-"""
-
-import argparse
-import glob
 import os
-import pickle
 import sys
-
-import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-
-def pack_omniglot(src: str, out: str) -> None:
-    from PIL import Image
-
-    class_dirs = []
-    for part in ("images_background", "images_evaluation"):
-        base = os.path.join(src, part)
-        class_dirs += sorted(glob.glob(os.path.join(base, "*", "character*")))
-    if not class_dirs:
-        raise SystemExit(f"no Omniglot class directories under {src}")
-    print(f"{len(class_dirs)} classes")
-
-    n_per = 20
-    images = np.zeros((len(class_dirs), n_per, 28, 28, 1), np.uint8)
-    for ci, cdir in enumerate(class_dirs):
-        files = sorted(glob.glob(os.path.join(cdir, "*.png")))[:n_per]
-        if len(files) < n_per:
-            # never zero-fill: all-black rows would be packed as real
-            # samples and silently corrupt every downstream run
-            raise SystemExit(
-                f"{cdir}: {len(files)} PNGs, expected {n_per} — the "
-                "download is incomplete")
-        for si, fp in enumerate(files):
-            img = Image.open(fp).convert("L").resize((28, 28),
-                                                     Image.LANCZOS)
-            images[ci, si, :, :, 0] = np.asarray(img, np.uint8)
-    os.makedirs(out, exist_ok=True)
-    np.savez_compressed(os.path.join(out, "omniglot.npz"), images=images)
-    print(f"wrote {out}/omniglot.npz {images.shape}")
-
-
-def pack_mini_imagenet(src: str, out: str) -> None:
-    os.makedirs(out, exist_ok=True)
-    for mode in ("train", "validation", "test"):
-        # l2l cache pickles: {"image_data": [N,84,84,3], "class_dict": {...}}
-        for cand in (f"mini-imagenet-cache-{mode}.pkl",
-                     f"mini-imagenet-cache-{'val' if mode == 'validation' else mode}.pkl"):
-            path = os.path.join(src, cand)
-            if os.path.exists(path):
-                break
-        else:
-            raise SystemExit(f"missing mini-imagenet pickle for {mode} in {src}")
-        with open(path, "rb") as f:
-            data = pickle.load(f)
-        img = np.asarray(data["image_data"], np.uint8)
-        classes = sorted(data["class_dict"].keys())
-        n_per = min(len(v) for v in data["class_dict"].values())
-        packed = np.stack([img[data["class_dict"][c][:n_per]]
-                           for c in classes])
-        np.savez_compressed(
-            os.path.join(out, f"mini_imagenet_{mode}.npz"), images=packed)
-        print(f"wrote mini_imagenet_{mode}.npz {packed.shape}")
-
-
-def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("dataset", choices=["omniglot", "mini-imagenet"])
-    p.add_argument("--src", required=True, help="original download dir")
-    p.add_argument("--out", default=os.path.expanduser(
-        "~/data/exploring_meta_tpu"))
-    args = p.parse_args()
-    if args.dataset == "omniglot":
-        pack_omniglot(args.src, args.out)
-    else:
-        pack_mini_imagenet(args.src, args.out)
-
+from exploring_meta_tpu.tasks.pack import (  # noqa: F401  (test API)
+    pack_mini_imagenet, pack_omniglot,
+)
+from exploring_meta_tpu.cli import pack_datasets as main
 
 if __name__ == "__main__":
     main()

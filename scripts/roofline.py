@@ -36,7 +36,8 @@ PEAK_HBM_GBS = float(os.environ.get("EMT_PEAK_HBM_GBS", 819.0))
 WAYS, SHOTS, ADAPT_STEPS = 5, 5, 1
 
 
-def build_vision(anil: bool, bf16: bool, meta_batch: int):
+def build_vision(anil: bool, bf16: bool, meta_batch: int,
+                 remat_body: bool = False):
     import jax
     import optax
     from exploring_meta_tpu import adapt, models, tasks
@@ -54,7 +55,8 @@ def build_vision(anil: bool, bf16: bool, meta_batch: int):
     params = models.init_cnn4(jax.random.key(0), spec)
     fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.5,
                                       adapt_steps=ADAPT_STEPS,
-                                      shots=SHOTS, ways=WAYS, anil=anil)
+                                      shots=SHOTS, ways=WAYS, anil=anil,
+                                      remat_body=remat_body)
     if bf16:
         fa = adapt.cast_compute(fa)
     opt = optax.adam(3e-3)
@@ -75,6 +77,9 @@ def main():
     p.add_argument("--conv_impl", choices=["direct", "s2d", "pallas"],
                    default="direct")
     p.add_argument("--meta_batch", type=int, default=32)
+    p.add_argument("--remat_body", action="store_true",
+                   help="ANIL: checkpoint body conv blocks "
+                        "(FLOPs-for-bytes A/B; see adapt/vision.py)")
     p.add_argument("--time", action="store_true",
                    help="also ground-truth-time the program (10 steps)")
     p.add_argument("--mem", action="store_true",
@@ -90,7 +95,7 @@ def main():
 
     step, call_args, fetch, iters_per_program, tasks_per_iter = build_vision(
         anil=(args.config == "anil_min"), bf16=args.bf16,
-        meta_batch=args.meta_batch)
+        meta_batch=args.meta_batch, remat_body=args.remat_body)
 
     lowered = step.lower(*call_args)
     compiled = lowered.compile()
@@ -141,6 +146,28 @@ def main():
                 print(f"argument padding multiplier: {phys/logical_args:.2f}x "
                       f"(physical {phys/1e9:.3f} GB / logical "
                       f"{logical_args/1e9:.3f} GB)")
+                if byts:
+                    # The argument stream is usually a sliver of the
+                    # program's traffic (temps dominate) — bound what a
+                    # perfect tile-aligned argument layout could win
+                    # before celebrating the multiplier above.
+                    print(f"argument share of logical traffic: "
+                          f"{100*logical_args/byts:.2f}% "
+                          f"(padding waste {100*(phys-logical_args)/byts:.2f}% "
+                          f"of logical bytes = ceiling on any arg-layout win)")
+            temp = getattr(ma, "temp_size_in_bytes", None)
+            peak = getattr(ma, "peak_memory_in_bytes", None)
+            if isinstance(temp, (int, float)) and byts:
+                # temp_size is ALLOCATION (live-range peak), not traffic,
+                # but temps are the dominant stream in these programs; the
+                # alloc/logical-traffic ratio tracks how much physical
+                # tile padding the temp stream carries across metabatch
+                # (a flat measured/bound ratio with flat temp/logical is
+                # padding, not a fixed overhead).
+                print(f"temp stream: physical alloc {temp/1e9:.3f} GB = "
+                      f"{temp/byts:.3f}x logical traffic/program"
+                      + (f", {100*temp/peak:.0f}% of peak alloc"
+                         if isinstance(peak, (int, float)) and peak else ""))
 
     if args.time:
         out = step(*call_args)

@@ -112,6 +112,7 @@ def _vmapped_vision(cfg, anil, seeds, mesh):
     """All-seeds-in-one-program vision sweep. -> (metrics dict with
     leaves [S, num_iterations], params_stack, per-seed test accs)."""
     import jax
+    import jax.numpy as jnp
     import optax
 
     from exploring_meta_tpu import adapt, models, parallel, tasks
@@ -119,7 +120,9 @@ def _vmapped_vision(cfg, anil, seeds, mesh):
     from exploring_meta_tpu.trainers.vision import _build_spec
 
     train_ds, valid_ds, test_ds = tasks.get_dataset(
-        cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None)
+        cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None,
+        synth_classes=getattr(cfg, "synth_classes", 0),
+        synth_per_class=getattr(cfg, "synth_per_class", 0))
     set_conv_impl(cfg.conv_impl)
     spec = _build_spec(cfg, anil)
     fast_adapt = adapt.make_vision_fast_adapt(
@@ -138,14 +141,37 @@ def _vmapped_vision(cfg, anil, seeds, mesh):
         return tasks.sample_task_batch(
             k, valid_ds._replace(images=va_imgs), cfg.ways, cfg.shots, mb)
 
+    # Honor --fuse as iterations-per-program here too: a whole reference
+    # budget (5k iterations x S seeds) as ONE dispatch is minutes of
+    # device time in a single RPC, which this image's remote runtime
+    # kills mid-execution ("TPU worker process crashed", observed twice
+    # at the full-scale Omniglot budget, chip_logs/r5s1{,b}). Chunked
+    # driving keeps each dispatch short; fuse=1 (the sweep default)
+    # falls back to the historical whole-budget-one-program behavior
+    # for budgets that fit.
+    chunk = cfg.fuse if cfg.fuse > 1 else cfg.num_iterations
     train = adapt.make_train_scan(fast_adapt, opt, sample_train,
-                                  cfg.num_iterations,
-                                  eval_sample_fn=sample_valid)
+                                  chunk, eval_sample_fn=sample_valid)
     params, opt_state, keys = parallel.stack_seed_states(
         lambda ik: models.init_cnn4(ik, spec), seeds, opt)
     sweep = parallel.vmap_seeds(train, 3, 2, mesh=mesh)
-    params, opt_state, ms = sweep(params, opt_state, keys,
-                                  train_ds.images, valid_ds.images)
+    n_chunks, rem = divmod(cfg.num_iterations, chunk)
+    trains = {chunk: sweep}
+    if rem:
+        trains[rem] = parallel.vmap_seeds(
+            adapt.make_train_scan(fast_adapt, opt, sample_train, rem,
+                                  eval_sample_fn=sample_valid),
+            3, 2, mesh=mesh)
+    chunk_ms = []
+    split_keys = jax.vmap(lambda k: jax.random.split(k))
+    for n in [chunk] * n_chunks + ([rem] if rem else []):
+        ks = split_keys(keys)
+        keys, use = ks[:, 0], ks[:, 1]
+        params, opt_state, ms = trains[n](params, opt_state, use,
+                                          train_ds.images, valid_ds.images)
+        chunk_ms.append(ms)
+    ms = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *chunk_ms) \
+        if len(chunk_ms) > 1 else chunk_ms[0]
 
     # Per-seed meta-test on the test split, one vmapped program (fresh
     # fold of each seed's carry key — the scan consumed the key itself).

@@ -16,7 +16,10 @@ import jax
 import pytest
 
 # Default the package-level compile cache off; the CPU branch below
-# re-points it (and raw-jax subprocesses) at the shared suite cache.
+# re-points it (and raw-jax subprocesses) at the shared suite cache —
+# but an EXPLICIT user EMT_COMPILE_CACHE (e.g. =off to bisect cache
+# bugs) always wins over the suite default.
+_user_cache = "EMT_COMPILE_CACHE" in os.environ
 os.environ.setdefault("EMT_COMPILE_CACHE", "off")
 
 if os.environ.get("EMT_TEST_TPU") != "1":
@@ -45,7 +48,8 @@ if os.environ.get("EMT_TEST_TPU") != "1":
         # otherwise. EMT_COMPILE_CACHE feeds enable_compile_cache-aware
         # entry points; the JAX_* vars cover scripts that configure jax
         # directly.
-        os.environ["EMT_COMPILE_CACHE"] = _cache_dir
+        if not _user_cache:
+            os.environ["EMT_COMPILE_CACHE"] = _cache_dir
         os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
         os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2.0"
         os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"

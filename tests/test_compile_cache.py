@@ -76,6 +76,36 @@ def test_jit_writes_entries(tmp_path):
     assert len(os.listdir(d)) >= 1
 
 
+def test_repoint_drops_latch(tmp_path):
+    """Re-pointing the cache dir mid-process must take effect: jax
+    latches the first directory (compilation_cache._cache_initialized)
+    and silently ignores later config updates, so enable_compile_cache
+    resets the latch via jax._src internals. This test fails LOUDLY if a
+    jax rename makes that reset a silent no-op (the getattr guards would
+    otherwise revert to the stale-dir bug)."""
+    d1, d2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+
+    @jax.jit
+    def f(v):
+        return (v * 3 - 1).sum()
+
+    enable_compile_cache(d1, min_compile_secs=0.0)
+    float(f(jax.numpy.arange(32.0)))
+    assert len(os.listdir(d1)) >= 1
+
+    # equivalent-but-unnormalized spelling of d1 must NOT reset the latch
+    from jax._src import compilation_cache as _cc
+    enable_compile_cache(d1 + os.sep, min_compile_secs=0.0)
+    assert getattr(_cc, "_cache", None) is not None, \
+        "latch reset fired on an equivalent path spelling"
+
+    enable_compile_cache(d2, min_compile_secs=0.0)
+    float(f(jax.numpy.arange(48.0)))  # new shape -> fresh compile
+    assert len(os.listdir(d2)) >= 1, \
+        "re-pointed cache dir received no entries — the jax latch reset " \
+        "(jax._src.compilation_cache internals) has gone stale"
+
+
 def test_experiment_respects_off(tmp_path, monkeypatch):
     """Experiment.__init__ routes its config's compile_cache through."""
     monkeypatch.setenv("EMT_COMPILE_CACHE", "off")

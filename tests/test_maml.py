@@ -163,6 +163,41 @@ class TestMetaGradient:
         g = jax.grad(meta_loss)(params)
         assert np.abs(np.asarray(g["w1"])).max() > 0
 
+    def test_anil_remat_body_preserves_meta_gradient(self):
+        """remat_body is a pure FLOPs-for-bytes schedule change
+        (jax.checkpoint on body blocks): the ANIL meta-loss and its
+        gradient must match the non-remat path bit-for-bit on CPU."""
+        train, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
+                                          synthetic_classes=20)
+        spec = models.anil_omniglot_spec(ways=5)
+        params = models.init_cnn4(jax.random.key(0), spec)
+        data, labels = tasks.sample_task_batch(jax.random.key(1), train,
+                                               ways=5, shots=1, meta_batch=2)
+
+        def mk(remat):
+            fa = adapt.make_vision_fast_adapt(spec, 0.4, 1, 1, 5, anil=True,
+                                              remat_body=remat)
+
+            def meta_loss(p):
+                res = jax.vmap(lambda d, l: fa(p, d, l))(data, labels)
+                return jnp.mean(res.loss)
+
+            return jax.value_and_grad(meta_loss)(params)
+
+        (l0, g0), (l1, g1) = mk(False), mk(True)
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        # the recompute reorders f32 conv-backward reductions, so grads
+        # move in their last ulps; leaves whose true gradient is ~0 are
+        # pure rounding noise — compare each leaf's diff against the
+        # GLOBAL gradient scale, not its own near-zero norm
+        leaves0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(g0)]
+        leaves1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(g1)]
+        gscale = max(np.abs(a).max() for a in leaves0)
+        assert gscale > 1e-4  # the comparison must not be vacuous
+        for a, b in zip(leaves0, leaves1):
+            assert np.abs(a - b).max() < 1e-4 * gscale, \
+                (np.abs(a - b).max(), gscale)
+
 
 class TestSampler:
     def test_task_shapes_and_labels(self):

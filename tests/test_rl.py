@@ -67,6 +67,28 @@ class TestRollout:
             np.asarray(traj.timestep[:, 0]),
             np.arange(cfg.max_path_length))
 
+    def test_episode_success_steps(self, setup):
+        """First-success index per episode, -1 when never successful —
+        the reference's get_success_per_ep (rl.py:75-92) with its
+        None-for-no-success encoded as -1."""
+        env, policy, params, cfg, roll, task = setup
+        traj = roll(params, task, jax.random.key(7))
+        T, E = traj.success.shape
+        success = np.zeros((T, E), np.float32)
+        success[3, 0] = 1.0
+        success[5, 0] = 1.0   # later hit must not override the first
+        if E > 1:
+            success[0, 1] = 1.0
+        traj = traj._replace(success=jnp.asarray(success),
+                             valid=jnp.ones_like(traj.valid))
+        steps = np.asarray(traj.episode_success_steps())
+        assert steps[0] == 3
+        if E > 1:
+            assert steps[1] == 0
+            assert (steps[2:] == -1).all()
+        successes = np.asarray(traj.episode_successes())
+        np.testing.assert_array_equal(steps >= 0, successes > 0)
+
 
 class TestAdvantages:
     def test_advantages_finite_and_reasonable(self, setup):
