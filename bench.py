@@ -485,14 +485,10 @@ def measure_tpu_trpo_particles() -> float:
                          adapt_batch_size=20, max_path_length=100)
     trpo_cfg = rl.TRPOConfig(outer_lr=1.0, max_kl=0.01, ls_max_steps=15,
                              backtrack_factor=0.5)
-    if os.environ.get("EMT_BENCH_ROLLOUT") == "pallas":
-        # In-context A/B for the fused Particles2D rollout kernel
-        # (pallas/rollout_pallas.py) inside the full TRPO iteration.
-        from exploring_meta_tpu.pallas import make_fused_particles2d_rollout
-        roll = make_fused_particles2d_rollout(policy, episodes=20,
-                                              horizon=100)
-    else:
-        roll = rl.make_rollout(env, policy.sample, episodes=20, horizon=100)
+    # (The fused Particles2D rollout kernel that once sat behind an
+    # EMT_BENCH_ROLLOUT=pallas knob lost its end-to-end A/B — 25.1 vs
+    # 27.0 it/s, BASELINE.md r4s5 — and was removed in round 5.)
+    roll = rl.make_rollout(env, policy.sample, episodes=20, horizon=100)
     train = rl.make_trpo_train_scan(env, policy, roll, rl_cfg, trpo_cfg,
                                     TASKS, ITERS)
 
@@ -923,9 +919,20 @@ _BASELINE_ALIAS = {
 _TORCH_BASELINES = {"maml_omni", "anil_min", "trpo_particles"}
 
 
-def _cached_baseline(name: str, fn) -> float:
+def _cached_baseline(name: str, fn):
+    """-> (denominator, band_or_None).
+
+    Torch-CPU denominators on this 1-core box carry large run-to-run
+    variance (BASELINE.md records 8-18 tasks/sec for maml_omni): a
+    single-sample denominator once moved the headline vs_baseline
+    283x -> 614x between rounds while the measured value was flat. For
+    the torch configs the cache therefore pins a MULTI-REPETITION MEDIAN
+    with its min/max band, measured once and reused — round-over-round
+    vs_baseline changes then reflect the numerator only. Legacy
+    single-sample scalar entries for torch configs are re-measured."""
     name = _BASELINE_ALIAS.get(name, name)
-    if name not in _TORCH_BASELINES:
+    torch_cfg = name in _TORCH_BASELINES
+    if not torch_cfg:
         import jax
         if jax.default_backend() == "cpu":
             name = name + "@cpu"
@@ -935,23 +942,39 @@ def _cached_baseline(name: str, fn) -> float:
             cache = json.load(f)
         if "tasks_per_sec" in cache:  # migrate round-1 single-config format
             cache = {"maml_omni": cache["tasks_per_sec"]}
-    if name not in cache:
-        cache[name] = fn()
+    entry = cache.get(name)
+    if (torch_cfg and not isinstance(entry, dict)) or entry is None:
+        if torch_cfg:
+            reps = int(os.environ.get("EMT_BASELINE_REPS", "5"))
+            samples = sorted(fn() for _ in range(reps))
+            entry = {"median": samples[len(samples) // 2],
+                     "band": [samples[0], samples[-1]], "reps": reps}
+        else:
+            entry = fn()
+        cache[name] = entry
         with open(BASELINE_CACHE, "w") as f:
             json.dump(cache, f, indent=2, sort_keys=True)
-    return cache[name]
+    if isinstance(entry, dict):
+        return entry["median"], entry["band"]
+    return entry, None
 
 
 def run_config(name: str) -> dict:
     cfg = CONFIGS[name]
-    baseline = _cached_baseline(name, cfg["baseline"])
+    baseline, band = _cached_baseline(name, cfg["baseline"])
     value = cfg["measure"]()
-    return {
+    out = {
         "metric": cfg["metric"],
         "value": round(value, 2),
         "unit": cfg["unit"],
         "vs_baseline": round(value / baseline, 2),
     }
+    if band:
+        # denominator variance band: vs the slowest/fastest observed
+        # baseline repetition (hi/lo of the honest comparison)
+        out["vs_baseline_band"] = [round(value / band[1], 2),
+                                   round(value / band[0], 2)]
+    return out
 
 
 def main():

@@ -5,22 +5,18 @@ against them in tests, and adopted only where measured faster on TPU.
 
 Measure-first decisions on this hardware/runtime:
 - GAE/discount: fused kernels win ~1000x standalone (XLA reverse scans
-  execute pathologically slowly as standalone programs here) and are
-  neutral inside larger programs -> auto-dispatched by ops/gae.py.
-- Policy rollouts: fused kernel wins standalone (one launch vs scan) and
-  is opt-in inside training programs (in-program scans are fine; the
-  kernel serializes per-task weights that XLA parallelizes).
-- CNN4 conv blocks: left to XLA — in-program convs batch all tasks onto
-  the MXU already and show no standalone-scan pathology; a hand conv
-  kernel would duplicate XLA's strength rather than fix a weakness.
+  execute pathologically slowly as standalone programs here), are a
+  measured 1.16x end-to-end win inside the TRPO iteration (BASELINE.md
+  r4s3) -> auto-dispatched by ops/gae.py, the one pallas DEFAULT.
+- Policy rollouts: a fused Particles2D rollout kernel existed through
+  round 4 and LOST its end-to-end A/B (25.1 vs 27.0 it/s, BASELINE.md
+  r4s5 — the XLA lax.scan rollout already fuses policy-forward +
+  env-step + recording; the kernel saves no HBM traffic and adds launch
+  overhead). Removed in round 5; git history has the implementation.
+- CNN4 conv blocks: per-block fused kernels kept OPT-IN as the stage-11
+  post-mortem artifact (cnn4_pallas.py docstring) — XLA remains default.
 """
 
 from exploring_meta_tpu.pallas.gae_pallas import gae_pallas, discount_pallas
 
 __all__ = ["gae_pallas", "discount_pallas"]
-
-from exploring_meta_tpu.pallas.rollout_pallas import (
-    make_fused_particles2d_rollout,
-)
-
-__all__ += ["make_fused_particles2d_rollout"]

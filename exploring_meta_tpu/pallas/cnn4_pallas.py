@@ -3,23 +3,24 @@
 Rebuilds the hot path of the reference's OmniglotCNN ConvBase
 (``core_functions/vision_models.py:38-55,149-193``: 4x [conv3x3 stride-2
 -> BN -> ReLU], then the global spatial mean feeding the linear head) as
-TWO Pallas kernels that keep every intermediate activation in VMEM:
+PER-BLOCK fused Pallas kernels: one Mosaic program per conv-BN-ReLU
+block (4 fwd + 4 bwd programs). Within a block, conv output, BN
+statistics and the ReLU mask never round-trip HBM — the fusion XLA
+cannot do, because BN's batch statistics need a full reduction over the
+conv output before normalization can start; only the 4 small
+block-boundary activations touch HBM.
 
-- ``_fwd_kernel``  — the whole 4-block base forward for one task. Reads
-  the task images + the 16 param tensors from HBM, writes ONLY the final
-  pooled features [N, hidden]. The 28x28 / 14x14 activations, BN
-  statistics and ReLU masks never touch HBM.
-- ``_bwd_kernel``  — the matching backward: recomputes the forward in
-  VMEM (FLOPs are free here — the meta-step runs at ~3% MXU peak and 85%
-  HBM peak, BASELINE.md roofline) and emits all 16 parameter cotangents
-  plus dx in one pass.
-
-Why this shape: the vision meta-step is HBM-bandwidth-bound, and XLA
-cannot fuse conv -> BN because BN's batch statistics need a full
-reduction over the conv output before normalization can start — so every
-block costs a write + two reads of its activation in HBM. Per task
-everything fits in VMEM (<4 MB), so one program per task (the task axis
-arrives via vmap -> pallas grid batching) removes those bytes entirely.
+History (BASELINE.md stage-11 post-mortem): a whole-base twin (all 4
+blocks in ONE program pair) existed through round 4 and was
+A/B-disqualified on-chip — Mosaic compile cost grows superlinearly with
+program size; its backward OOM-killed the remote compile server at every
+meta-batch and even its forward ran 534 s at production shapes. The
+per-block mode compiles and matches the XLA path on-chip, but its
+AD-transposed backward VMEM-OOMs at production shapes (145 MB register
+spill + 128x lane padding on 1-channel-minor residuals), so the XLA path
+remains the default; these kernels are the documented, reproducible
+artifact of that investigation (opt-in: ``--conv_impl pallas``). The
+whole-base twin was removed in round 5 and lives in git history.
 
 Stride-2 taps without strided slices: Mosaic lowers neither strided
 slices (gather) nor scatter, so the padded input is reshaped to the
@@ -45,8 +46,6 @@ so the HBM traffic still halves); verified against the XLA path in
 """
 
 from __future__ import annotations
-
-from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -125,20 +124,6 @@ def _block_fwd(a_prev, w, b, scale, bias):
     return a, xh, inv
 
 
-def _base_fwd(x, pf32):
-    """All 4 blocks; returns (pooled feats [N, C], acts, xhats, invs)."""
-    acts, xhs, invs = [x], [], []
-    a = x
-    for i in range(_N_BLOCKS):
-        w, b, s, be = pf32[_PER_BLOCK * i:_PER_BLOCK * (i + 1)]
-        a, xh, inv = _block_fwd(a, w, b, s, be)
-        acts.append(a)
-        xhs.append(xh)
-        invs.append(inv)
-    feats = jnp.mean(a, axis=(1, 2))
-    return feats, acts, xhs, invs
-
-
 def _conv_s2_bwd(a_prev, d_out, w):
     """Backward of ``_conv_s2 + b``: returns (dw, db, da_prev).
 
@@ -206,58 +191,8 @@ def _block_bwd(da, xh, inv, scale, bias):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x_ref, *refs):
-    param_refs, out_ref = refs[:-1], refs[-1]
-    x = x_ref[...].astype(jnp.float32)
-    pf32 = [r[...].astype(jnp.float32) for r in param_refs]
-    feats, _, _, _ = _base_fwd(x, pf32)
-    out_ref[...] = feats.astype(out_ref.dtype)
-
-
-def _bwd_kernel(x_ref, *refs):
-    n_in = 1 + _N_BLOCKS * _PER_BLOCK  # x + params; then g
-    param_refs = refs[:_N_BLOCKS * _PER_BLOCK]
-    g_ref = refs[_N_BLOCKS * _PER_BLOCK]
-    out_refs = refs[_N_BLOCKS * _PER_BLOCK + 1:]  # dx, then 16 dparams
-    del n_in
-
-    x = x_ref[...].astype(jnp.float32)
-    pf32 = [r[...].astype(jnp.float32) for r in param_refs]
-    _, acts, xhs, invs = _base_fwd(x, pf32)
-
-    g = g_ref[...].astype(jnp.float32)            # [N, C]
-    h4, w4 = acts[-1].shape[1], acts[-1].shape[2]
-    da = jnp.broadcast_to(g[:, None, None, :] / (h4 * w4), acts[-1].shape)
-
-    grads = [None] * (_N_BLOCKS * _PER_BLOCK)
-    for i in reversed(range(_N_BLOCKS)):
-        w, _, s, be = pf32[_PER_BLOCK * i:_PER_BLOCK * (i + 1)]
-        dy, ds, dbe = _block_bwd(da, xhs[i], invs[i], s, be)
-        dw, db, da = _conv_s2_bwd(acts[i], dy, w)
-        grads[_PER_BLOCK * i:_PER_BLOCK * (i + 1)] = [dw, db, ds, dbe]
-
-    out_refs[0][...] = da.astype(out_refs[0].dtype)
-    for ref, gval in zip(out_refs[1:], grads):
-        ref[...] = gval.astype(ref.dtype)
-
-
 def _interpret():
     return jax.default_backend() == "cpu"
-
-
-def _flatten_blocks(blocks):
-    flat = []
-    for blk in blocks:
-        flat += [blk["conv"]["w"], blk["conv"]["b"],
-                 blk["bn"]["scale"], blk["bn"]["bias"]]
-    return flat
-
-
-def _unflatten_blocks(flat):
-    return [{"conv": {"w": flat[_PER_BLOCK * i], "b": flat[_PER_BLOCK * i + 1]},
-             "bn": {"scale": flat[_PER_BLOCK * i + 2],
-                    "bias": flat[_PER_BLOCK * i + 3]}}
-            for i in range(_N_BLOCKS)]
 
 
 # The 6D parity views pad their tiny minor dims (2, C) up to the (8, 128)
@@ -270,36 +205,6 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 _COMPILER_PARAMS_BATCHED = pltpu.CompilerParams(
     vmem_limit_bytes=100 * 1024 * 1024,
     dimension_semantics=("arbitrary",))
-
-
-def _fwd_call_single(blocks, x):
-    flat = _flatten_blocks(blocks)
-    hidden = flat[0].shape[-1]
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], hidden), x.dtype),
-        in_specs=[vspec] * (1 + len(flat)),
-        out_specs=vspec,
-        compiler_params=_COMPILER_PARAMS,
-        interpret=_interpret(),
-    )(x, *flat)
-
-
-def _bwd_call_single(blocks, x, g):
-    flat = _flatten_blocks(blocks)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
-    out_shape += [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in flat]
-    outs = pl.pallas_call(
-        _bwd_kernel,
-        out_shape=tuple(out_shape),
-        in_specs=[vspec] * (2 + len(flat)),
-        out_specs=tuple([vspec] * len(out_shape)),
-        compiler_params=_COMPILER_PARAMS,
-        interpret=_interpret(),
-    )(x, *flat, g)
-    return _unflatten_blocks(list(outs[1:])), outs[0]
 
 
 # ---------------------------------------------------------------------------
@@ -329,40 +234,6 @@ def _read_task(ref):
     return v
 
 
-def _fwd_kernel_batched(x_ref, *refs):
-    param_refs, out_ref = refs[:-1], refs[-1]
-    x = _read_task(x_ref).astype(jnp.float32)
-    pf32 = [_read_task(r).astype(jnp.float32) for r in param_refs]
-    feats, _, _, _ = _base_fwd(x, pf32)
-    out_ref[0] = feats.astype(out_ref.dtype)
-
-
-def _bwd_kernel_batched(x_ref, *refs):
-    param_refs = refs[:_N_BLOCKS * _PER_BLOCK]
-    g_ref = refs[_N_BLOCKS * _PER_BLOCK]
-    out_refs = refs[_N_BLOCKS * _PER_BLOCK + 1:]  # dx, then 16 dparams
-
-    x = _read_task(x_ref).astype(jnp.float32)
-    pf32 = [_read_task(r).astype(jnp.float32) for r in param_refs]
-    _, acts, xhs, invs = _base_fwd(x, pf32)
-
-    g = _read_task(g_ref).astype(jnp.float32)     # [N, C]
-    h4, w4 = acts[-1].shape[1], acts[-1].shape[2]
-    da = jnp.broadcast_to(g[:, None, None, :] / (h4 * w4), acts[-1].shape)
-
-    grads = [None] * (_N_BLOCKS * _PER_BLOCK)
-    for i in reversed(range(_N_BLOCKS)):
-        w, _, s, be = pf32[_PER_BLOCK * i:_PER_BLOCK * (i + 1)]
-        dy, ds, dbe = _block_bwd(da, xhs[i], invs[i], s, be)
-        dw, db, da = _conv_s2_bwd(acts[i], dy, w)
-        grads[_PER_BLOCK * i:_PER_BLOCK * (i + 1)] = [dw, db, ds, dbe]
-
-    out_refs[0][0] = da.astype(out_refs[0].dtype)
-    for ref, gval in zip(out_refs[1:], grads):
-        gval = gval.reshape(ref.shape[1:])  # lifted 1-D grads -> [1, C]
-        ref[0] = gval.astype(ref.dtype)
-
-
 def _task_spec(a):
     """BlockSpec selecting task t's slab of a leading-batch array."""
     rank = a.ndim
@@ -370,121 +241,11 @@ def _task_spec(a):
     return pl.BlockSpec((1,) + a.shape[1:], lambda t, _z=zeros: (t, *_z))
 
 
-def _fwd_pallas_batched(blocks, x):
-    """All leaves carry a leading task axis B."""
-    flat = [_lift(p) for p in _flatten_blocks(blocks)]
-    b, n = x.shape[0], x.shape[1]
-    hidden = flat[0].shape[-1]
-    ins = [x] + flat
-    return pl.pallas_call(
-        _fwd_kernel_batched,
-        grid=(b,),
-        out_shape=jax.ShapeDtypeStruct((b, n, hidden), x.dtype),
-        in_specs=[_task_spec(a) for a in ins],
-        out_specs=pl.BlockSpec((1, n, hidden), lambda t: (t, 0, 0)),
-        compiler_params=_COMPILER_PARAMS_BATCHED,
-        interpret=_interpret(),
-    )(*ins)
-
-
-def _bwd_pallas_batched(blocks, x, g):
-    flat = [_lift(p) for p in _flatten_blocks(blocks)]
-    b = x.shape[0]
-    ins = [x] + flat + [g]
-    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
-    out_shape += [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in flat]
-    outs = pl.pallas_call(
-        _bwd_kernel_batched,
-        grid=(b,),
-        out_shape=tuple(out_shape),
-        in_specs=[_task_spec(a) for a in ins],
-        out_specs=tuple(_task_spec(o) for o in out_shape),
-        compiler_params=_COMPILER_PARAMS_BATCHED,
-        interpret=_interpret(),
-    )(*ins)
-    dflat = [o.reshape(o.shape[0], -1) if o.ndim == 3 and o.shape[1] == 1
-             else o for o in outs[1:]]  # un-lift 1-D grads
-    return _unflatten_blocks(dflat), outs[0]
-
-
 def _bcast_tree(tree, batched, b):
     return jax.tree_util.tree_map(
         lambda p, is_b: p if is_b
         else jnp.broadcast_to(p[None], (b,) + p.shape),
         tree, batched)
-
-
-@jax.custom_batching.custom_vmap
-def _fwd_batched(blocks, x):
-    return _fwd_pallas_batched(blocks, x)
-
-
-@_fwd_batched.def_vmap
-def _fwd_batched_vmap(axis_size, in_batched, blocks, x):
-    # second (or deeper) vmap level: fold the new axis into the task axis
-    blocks_b, x_b = in_batched
-    blocks = _bcast_tree(blocks, blocks_b, axis_size)
-    if not x_b:
-        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-    b_inner = x.shape[1]
-    blocks_m = jax.tree_util.tree_map(
-        lambda p: p.reshape((axis_size * b_inner,) + p.shape[2:]), blocks)
-    out = _fwd_batched(blocks_m, x.reshape((axis_size * b_inner,)
-                                           + x.shape[2:]))
-    return out.reshape((axis_size, b_inner) + out.shape[1:]), True
-
-
-@jax.custom_batching.custom_vmap
-def _fwd_call(blocks, x):
-    return _fwd_call_single(blocks, x)
-
-
-@_fwd_call.def_vmap
-def _fwd_call_vmap(axis_size, in_batched, blocks, x):
-    blocks_b, x_b = in_batched
-    blocks = _bcast_tree(blocks, blocks_b, axis_size)
-    if not x_b:
-        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-    return _fwd_batched(blocks, x), True
-
-
-@jax.custom_batching.custom_vmap
-def _bwd_batched(blocks, x, g):
-    return _bwd_pallas_batched(blocks, x, g)
-
-
-@_bwd_batched.def_vmap
-def _bwd_batched_vmap(axis_size, in_batched, blocks, x, g):
-    blocks_b, x_b, g_b = in_batched
-    blocks = _bcast_tree(blocks, blocks_b, axis_size)
-    if not x_b:
-        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-    if not g_b:
-        g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
-    b_inner = x.shape[1]
-    merge = lambda p: p.reshape((axis_size * b_inner,) + p.shape[2:])
-    dblocks, dx = _bwd_batched(jax.tree_util.tree_map(merge, blocks),
-                               merge(x), merge(g))
-    split = lambda p: p.reshape((axis_size, b_inner) + p.shape[1:])
-    out = (jax.tree_util.tree_map(split, dblocks), split(dx))
-    return out, jax.tree_util.tree_map(lambda _: True, out)
-
-
-@jax.custom_batching.custom_vmap
-def _bwd_call(blocks, x, g):
-    return _bwd_call_single(blocks, x, g)
-
-
-@_bwd_call.def_vmap
-def _bwd_call_vmap(axis_size, in_batched, blocks, x, g):
-    blocks_b, x_b, g_b = in_batched
-    blocks = _bcast_tree(blocks, blocks_b, axis_size)
-    if not x_b:
-        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-    if not g_b:
-        g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
-    out = _bwd_batched(blocks, x, g)
-    return out, jax.tree_util.tree_map(lambda _: True, out)
 
 
 # ---------------------------------------------------------------------------
@@ -722,22 +483,19 @@ def _bwd_call_split(blocks, x, g):
 # kernel-mode switch
 # ---------------------------------------------------------------------------
 
-_KERNEL_MODE: str | None = None
-
-
 def set_cnn4_kernel_mode(mode: str | None) -> None:
-    """"whole" = single whole-base programs, "block" = per-block
-    programs, None = defer to ``EMT_CNN4_PALLAS`` (default "whole")."""
-    global _KERNEL_MODE
-    assert mode in (None, "whole", "block")
-    _KERNEL_MODE = mode
-
-
-def _kernel_mode() -> str:
-    if _KERNEL_MODE is not None:
-        return _KERNEL_MODE
-    import os
-    return os.environ.get("EMT_CNN4_PALLAS", "whole")
+    """Only "block" (or None) remains. The whole-base twin ("whole" /
+    EMT_CNN4_PALLAS=base) was A/B-disqualified on-chip in round 4 —
+    compile-server OOM on its backward at every meta-batch plus a 534 s
+    forward at production shapes (BASELINE.md stage-11 post-mortem,
+    chip_logs/r4s5) — and removed in round 5; it lives in git history
+    (commit "Packaging + CI + full-scale vision artifacts" is the last
+    to carry it)."""
+    if mode not in (None, "block"):
+        raise ValueError(
+            f"CNN4 kernel mode {mode!r} removed: the whole-base kernels "
+            "were A/B-disqualified (BASELINE.md stage-11 post-mortem); "
+            "only per-block mode remains")
 
 
 # ---------------------------------------------------------------------------
@@ -768,9 +526,7 @@ def _pure_grads(blocks, x, g):
 # the tangents, hence transposable by the outer reverse pass.
 @jax.custom_jvp
 def _fwd_op(blocks, x):
-    if _kernel_mode() == "block":
-        return _fwd_call_split(blocks, x)
-    return _fwd_call(blocks, x)
+    return _fwd_call_split(blocks, x)
 
 
 @_fwd_op.defjvp
@@ -782,9 +538,7 @@ def _fwd_op_jvp(primals, tangents):
 
 @jax.custom_jvp
 def _bwd_op(blocks, x, g):
-    if _kernel_mode() == "block":
-        return _bwd_call_split(blocks, x, g)
-    return _bwd_call(blocks, x, g)
+    return _bwd_call_split(blocks, x, g)
 
 
 @_bwd_op.defjvp

@@ -56,7 +56,7 @@ class VisionConfig:
     remat_body: bool = False     # ANIL: checkpoint body conv blocks
                                  # (FLOPs-for-bytes; see adapt/vision.py)
     conv_impl: str = "direct"    # stride-2 conv lowering: "direct" | "s2d"
-                                 # | "pallas" (fused whole-base kernels)
+                                 # | "pallas" (per-block fused kernels)
     nan_guard: bool = True       # stop + save when train loss goes non-finite
     ckpt_backend: str = "npz"    # "npz" | "orbax" (utils/orbax_ckpt.py)
     compile_cache: str = ""      # persistent XLA compile cache dir
@@ -149,10 +149,12 @@ def vision_argparser(defaults: VisionConfig,
                    help="stride-2 conv lowering: direct conv, the exact "
                         "space-to-depth reformulation (2x2 conv over 4x "
                         "channels — MXU-friendlier for the small CNN4 "
-                        "widths; see models/layers.py), or the fused "
-                        "whole-base Pallas kernels for the Omniglot CNN4 "
-                        "(pallas/cnn4_pallas.py — all 4 conv-BN-ReLU "
-                        "blocks in VMEM, one HBM write per task)")
+                        "widths; see models/layers.py), or the per-block "
+                        "fused Pallas kernels for the Omniglot CNN4 "
+                        "(pallas/cnn4_pallas.py — conv-BN-ReLU never "
+                        "round-trips HBM inside a block; a measured "
+                        "loser at training shapes, kept as the stage-11 "
+                        "post-mortem artifact)")
     p.add_argument("--no_nan_guard", dest="nan_guard", action="store_false",
                    default=defaults.nan_guard,
                    help="disable the divergence watchdog (by default a "

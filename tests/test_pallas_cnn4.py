@@ -31,10 +31,10 @@ def _pure_feats(blocks, x):
     return jnp.mean(base_apply(blocks, x, max_pool=False), axis=(1, 2))
 
 
-@pytest.fixture(params=["whole", "block"])
+@pytest.fixture(params=["block"])
 def setup(request):
-    """Every test runs under BOTH kernel modes (whole-base single
-    Mosaic program vs per-block programs — pallas/cnn4_pallas.py)."""
+    """Per-block kernel mode (the whole-base twin was A/B-disqualified
+    and removed in round 5 — pallas/cnn4_pallas.py module docstring)."""
     set_cnn4_kernel_mode(request.param)
     try:
         spec = omniglot_spec(ways=5)
