@@ -19,6 +19,7 @@ Caveats (same as BASELINE.md):
 Usage:
     python scripts/roofline.py --config maml_omni [--bf16] [--conv_impl s2d]
     python scripts/roofline.py --config anil_min --time
+    python scripts/roofline.py --config maml_min --bf16 --time --mem
     EMT_FORCE_CPU=1 python scripts/roofline.py --config maml_omni   # no chip
 """
 
@@ -33,21 +34,34 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 PEAK_TFLOPS_BF16 = float(os.environ.get("EMT_PEAK_TFLOPS", 197.0))
 PEAK_HBM_GBS = float(os.environ.get("EMT_PEAK_HBM_GBS", 819.0))
 
-WAYS, SHOTS, ADAPT_STEPS = 5, 5, 1
+WAYS, ADAPT_STEPS = 5, 1
+
+# (dataset, anil, shots) per config — shots follow the reference budgets:
+# MAML-min is the 5w1s config (vision/maml_vision.py), the ANIL/omni
+# headliners are 5w5s.
+CONFIGS = {
+    "maml_omni": ("omni", False, 5),
+    "anil_min": ("min", True, 5),
+    "maml_min": ("min", False, 1),
+}
 
 
-def build_vision(anil: bool, bf16: bool, meta_batch: int,
-                 remat_body: bool = False):
+def build_vision(config: str, bf16: bool, meta_batch: int,
+                 remat_body: bool = False, precision: str = ""):
     import jax
     import optax
     from exploring_meta_tpu import adapt, models, tasks
     from exploring_meta_tpu.models.layers import set_precision
 
-    if bf16:
+    dataset, anil, shots = CONFIGS[config]
+    if precision:
+        set_precision(precision)
+    elif bf16:
         set_precision("default")
-    if anil:
+    if dataset == "min":
         ds, _, _ = tasks.load_mini_imagenet(seed=0, synthetic=True)
-        spec = models.anil_mini_imagenet_spec(ways=WAYS)
+        spec = (models.anil_mini_imagenet_spec(ways=WAYS) if anil
+                else models.mini_imagenet_spec(ways=WAYS))
     else:
         ds, _, _ = tasks.load_omniglot(seed=0, synthetic=True,
                                        synthetic_classes=1623)
@@ -55,7 +69,7 @@ def build_vision(anil: bool, bf16: bool, meta_batch: int,
     params = models.init_cnn4(jax.random.key(0), spec)
     fa = adapt.make_vision_fast_adapt(spec, inner_lr=0.5,
                                       adapt_steps=ADAPT_STEPS,
-                                      shots=SHOTS, ways=WAYS, anil=anil,
+                                      shots=shots, ways=WAYS, anil=anil,
                                       remat_body=remat_body)
     if bf16:
         fa = adapt.cast_compute(fa)
@@ -63,7 +77,7 @@ def build_vision(anil: bool, bf16: bool, meta_batch: int,
     opt_state = opt.init(params)
     step = adapt.make_meta_step(fa, opt)
     data, labels = tasks.sample_task_batch(jax.random.key(1), ds, WAYS,
-                                           SHOTS, meta_batch)
+                                           shots, meta_batch)
     args = (params, opt_state, data, labels)
     fetch = lambda out: float(out[2]["loss"])
     return step, args, fetch, 1, meta_batch
@@ -71,12 +85,15 @@ def build_vision(anil: bool, bf16: bool, meta_batch: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", choices=["maml_omni", "anil_min"],
+    p.add_argument("--config", choices=sorted(CONFIGS),
                    default="maml_omni")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--conv_impl", choices=["direct", "s2d", "pallas"],
                    default="direct")
     p.add_argument("--meta_batch", type=int, default=32)
+    p.add_argument("--precision", choices=["highest", "default"], default="",
+                   help="override the MXU precision (default: highest for "
+                        "f32 runs, default/single-pass-bf16 for --bf16)")
     p.add_argument("--remat_body", action="store_true",
                    help="ANIL: checkpoint body conv blocks "
                         "(FLOPs-for-bytes A/B; see adapt/vision.py)")
@@ -94,8 +111,9 @@ def main():
     set_conv_impl(args.conv_impl)
 
     step, call_args, fetch, iters_per_program, tasks_per_iter = build_vision(
-        anil=(args.config == "anil_min"), bf16=args.bf16,
-        meta_batch=args.meta_batch, remat_body=args.remat_body)
+        config=args.config, bf16=args.bf16,
+        meta_batch=args.meta_batch, remat_body=args.remat_body,
+        precision=args.precision)
 
     lowered = step.lower(*call_args)
     compiled = lowered.compile()

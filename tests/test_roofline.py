@@ -39,6 +39,16 @@ def test_reports_costs_and_regime():
 
 
 @pytest.mark.slow
+def test_maml_min_config():
+    # The heaviest vision config (full-body inner loop, 84x84x3): it must
+    # build, report, and cost strictly more FLOPs per task than maml_omni
+    # (28x28x1 images) at the same meta-batch.
+    text = _run("--config", "maml_min")
+    assert "GFLOP" in text and "roofline bound" in text
+    assert _gflop(text) > _gflop(_run("--config", "maml_omni"))
+
+
+@pytest.mark.slow
 def test_knobs_change_compiled_costs():
     base = _gflop(_run("--config", "maml_omni"))
     s2d = _gflop(_run("--config", "maml_omni", "--conv_impl", "s2d"))
