@@ -20,6 +20,7 @@ Usage:
     python scripts/roofline.py --config maml_omni [--bf16] [--conv_impl s2d]
     python scripts/roofline.py --config anil_min --time
     python scripts/roofline.py --config maml_min --bf16 --time --mem
+    python scripts/roofline.py --config trpo_particles --fuse 10 --time
     EMT_FORCE_CPU=1 python scripts/roofline.py --config maml_omni   # no chip
 """
 
@@ -36,14 +37,16 @@ PEAK_HBM_GBS = float(os.environ.get("EMT_PEAK_HBM_GBS", 819.0))
 
 WAYS, ADAPT_STEPS = 5, 1
 
-# (dataset, anil, shots) per config — shots follow the reference budgets:
-# MAML-min is the 5w1s config (vision/maml_vision.py), the ANIL/omni
-# headliners are 5w5s.
-CONFIGS = {
+# (dataset, anil, shots) per vision config — shots follow the reference
+# budgets: MAML-min is the 5w1s config (vision/maml_vision.py), the
+# ANIL/omni headliners are 5w5s. "trpo_particles" is the RL flagship
+# (reference rl/maml_trpo.py scale), built separately below.
+VISION_CONFIGS = {
     "maml_omni": ("omni", False, 5),
     "anil_min": ("min", True, 5),
     "maml_min": ("min", False, 1),
 }
+CONFIGS = dict(VISION_CONFIGS, trpo_particles=None)
 
 
 def build_vision(config: str, bf16: bool, meta_batch: int,
@@ -53,7 +56,7 @@ def build_vision(config: str, bf16: bool, meta_batch: int,
     from exploring_meta_tpu import adapt, models, tasks
     from exploring_meta_tpu.models.layers import set_precision
 
-    dataset, anil, shots = CONFIGS[config]
+    dataset, anil, shots = VISION_CONFIGS[config]
     if precision:
         set_precision(precision)
     elif bf16:
@@ -80,7 +83,39 @@ def build_vision(config: str, bf16: bool, meta_batch: int,
                                            shots, meta_batch)
     args = (params, opt_state, data, labels)
     fetch = lambda out: float(out[2]["loss"])
-    return step, args, fetch, 1, meta_batch
+    # vision: one meta-iteration per program; cost analysis covers it fully
+    return step, args, fetch, 1, meta_batch, False
+
+
+def build_trpo(bf16: bool, fuse: int):
+    """The RL flagship: full MAML-TRPO meta-iterations at reference scale
+    (rl/maml_trpo.py: 20 tasks x 20 episodes x horizon 100, first-order
+    collection + second-order CG/line-search outer step), ``fuse``
+    iterations per program via the trainers' fused path
+    (rl/train_scan.py). XLA cost_analysis counts the scan body ONCE, so
+    the reported FLOPs/bytes are per-ITERATION while the program runs
+    ``fuse`` of them — the caller must scale (body_counted_once=True)."""
+    import jax
+    from exploring_meta_tpu import rl
+    from exploring_meta_tpu.envs import Particles2D
+    from exploring_meta_tpu.models import DiagNormalPolicy
+
+    TASKS = 20
+    env = Particles2D()
+    policy = DiagNormalPolicy(input_size=2, output_size=2)
+    if bf16:
+        policy = policy._replace(compute_dtype="bf16")
+    params = policy.init(jax.random.key(0))
+    rl_cfg = rl.RLConfig(inner_lr=0.05, gamma=0.99, tau=1.0, adapt_steps=1,
+                         adapt_batch_size=20, max_path_length=100)
+    trpo_cfg = rl.TRPOConfig(outer_lr=1.0, max_kl=0.01, ls_max_steps=15,
+                             backtrack_factor=0.5)
+    roll = rl.make_rollout(env, policy.sample, episodes=20, horizon=100)
+    train = rl.make_trpo_train_scan(env, policy, roll, rl_cfg, trpo_cfg,
+                                    TASKS, fuse)
+    args = (params, jax.random.key(1))
+    fetch = lambda out: float(out[1]["meta_loss"][-1])
+    return train, args, fetch, fuse, TASKS, True
 
 
 def main():
@@ -91,6 +126,9 @@ def main():
     p.add_argument("--conv_impl", choices=["direct", "s2d", "pallas"],
                    default="direct")
     p.add_argument("--meta_batch", type=int, default=32)
+    p.add_argument("--fuse", type=int, default=10,
+                   help="trpo_particles: meta-iterations per fused program "
+                        "(the trainers' --fuse K)")
     p.add_argument("--precision", choices=["highest", "default"], default="",
                    help="override the MXU precision (default: highest for "
                         "f32 runs, default/single-pass-bf16 for --bf16)")
@@ -110,10 +148,15 @@ def main():
     from exploring_meta_tpu.models.layers import set_conv_impl
     set_conv_impl(args.conv_impl)
 
-    step, call_args, fetch, iters_per_program, tasks_per_iter = build_vision(
-        config=args.config, bf16=args.bf16,
-        meta_batch=args.meta_batch, remat_body=args.remat_body,
-        precision=args.precision)
+    if args.config == "trpo_particles":
+        step, call_args, fetch, iters_per_program, tasks_per_iter, \
+            body_once = build_trpo(bf16=args.bf16, fuse=args.fuse)
+    else:
+        step, call_args, fetch, iters_per_program, tasks_per_iter, \
+            body_once = build_vision(
+                config=args.config, bf16=args.bf16,
+                meta_batch=args.meta_batch, remat_body=args.remat_body,
+                precision=args.precision)
 
     lowered = step.lower(*call_args)
     compiled = lowered.compile()
@@ -121,20 +164,32 @@ def main():
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops = float(ca.get("flops", float("nan")))
     byts = float(ca.get("bytes accessed", float("nan")))
-    intensity = flops / byts if byts else float("nan")
+    # XLA counts a lax.scan body ONCE; for fused programs the reported
+    # costs are per-iteration and the program runs iters_per_program trips.
+    if body_once:
+        flops_iter, byts_iter = flops, byts
+        flops_prog = flops * iters_per_program
+        byts_prog = byts * iters_per_program
+        prog_note = f" (~scan body x {iters_per_program}, prologue excl.)"
+    else:
+        flops_iter = flops / iters_per_program
+        byts_iter = byts / iters_per_program
+        flops_prog, byts_prog, prog_note = flops, byts, ""
+    intensity = flops_iter / byts_iter if byts_iter else float("nan")
     ridge = PEAK_TFLOPS_BF16 * 1e12 / (PEAK_HBM_GBS * 1e9)
     print(f"config={args.config} bf16={args.bf16} conv_impl={args.conv_impl} "
           f"meta_batch={args.meta_batch} backend={jax.default_backend()}")
-    print(f"per program:   {flops/1e9:.2f} GFLOP, {byts/1e9:.3f} GB accessed")
-    print(f"per iteration: {flops/1e9/iters_per_program:.2f} GFLOP, "
-          f"{byts/1e9/iters_per_program:.3f} GB "
+    print(f"per program:   {flops_prog/1e9:.2f} GFLOP, "
+          f"{byts_prog/1e9:.3f} GB accessed{prog_note}")
+    print(f"per iteration: {flops_iter/1e9:.2f} GFLOP, "
+          f"{byts_iter/1e9:.3f} GB "
           f"({tasks_per_iter} tasks)")
     print(f"arithmetic intensity: {intensity:.1f} FLOP/byte "
           f"(MXU ridge ~{ridge:.0f} -> "
           f"{'bandwidth' if intensity < ridge else 'compute'}-bound regime)")
-    bound_ms = max(flops / (PEAK_TFLOPS_BF16 * 1e12),
-                   byts / (PEAK_HBM_GBS * 1e9)) * 1e3
-    print(f"roofline bound: {bound_ms:.2f} ms/program at v5e peaks "
+    bound_ms = max(flops_iter / (PEAK_TFLOPS_BF16 * 1e12),
+                   byts_iter / (PEAK_HBM_GBS * 1e9)) * 1e3
+    print(f"roofline bound: {bound_ms:.2f} ms/iteration at v5e peaks "
           f"({PEAK_TFLOPS_BF16:.0f} TF/s bf16, {PEAK_HBM_GBS:.0f} GB/s)")
 
     if args.mem:
@@ -164,18 +219,19 @@ def main():
                 print(f"argument padding multiplier: {phys/logical_args:.2f}x "
                       f"(physical {phys/1e9:.3f} GB / logical "
                       f"{logical_args/1e9:.3f} GB)")
-                if byts:
+                if byts_prog:
                     # The argument stream is usually a sliver of the
                     # program's traffic (temps dominate) — bound what a
                     # perfect tile-aligned argument layout could win
                     # before celebrating the multiplier above.
                     print(f"argument share of logical traffic: "
-                          f"{100*logical_args/byts:.2f}% "
-                          f"(padding waste {100*(phys-logical_args)/byts:.2f}% "
+                          f"{100*logical_args/byts_prog:.2f}% "
+                          f"(padding waste "
+                          f"{100*(phys-logical_args)/byts_prog:.2f}% "
                           f"of logical bytes = ceiling on any arg-layout win)")
             temp = getattr(ma, "temp_size_in_bytes", None)
             peak = getattr(ma, "peak_memory_in_bytes", None)
-            if isinstance(temp, (int, float)) and byts:
+            if isinstance(temp, (int, float)) and byts_prog:
                 # temp_size is ALLOCATION (live-range peak), not traffic,
                 # but temps are the dominant stream in these programs; the
                 # alloc/logical-traffic ratio tracks how much physical
@@ -183,7 +239,7 @@ def main():
                 # (a flat measured/bound ratio with flat temp/logical is
                 # padding, not a fixed overhead).
                 print(f"temp stream: physical alloc {temp/1e9:.3f} GB = "
-                      f"{temp/byts:.3f}x logical traffic/program"
+                      f"{temp/byts_prog:.3f}x logical traffic/program"
                       + (f", {100*temp/peak:.0f}% of peak alloc"
                          if isinstance(peak, (int, float)) and peak else ""))
 
@@ -196,12 +252,15 @@ def main():
             out = step(*call_args)
         fetch(out)  # ground-truth: host fetch depends on the last step
         dt = (time.perf_counter() - t0) / n
-        print(f"measured: {dt*1e3:.2f} ms/program -> "
-              f"{flops/dt/1e12:.2f} TFLOP/s "
-              f"({100*flops/dt/1e12/PEAK_TFLOPS_BF16:.1f}% MXU peak), "
-              f"{byts/dt/1e9:.0f} GB/s logical "
-              f"({100*byts/dt/1e9/PEAK_HBM_GBS:.0f}% HBM peak), "
-              f"{tasks_per_iter*iters_per_program/dt:.0f} tasks/sec")
+        dt_iter = dt / iters_per_program
+        print(f"measured: {dt*1e3:.2f} ms/program = "
+              f"{dt_iter*1e3:.2f} ms/iteration -> "
+              f"{flops_prog/dt/1e12:.2f} TFLOP/s "
+              f"({100*flops_prog/dt/1e12/PEAK_TFLOPS_BF16:.1f}% MXU peak), "
+              f"{byts_prog/dt/1e9:.0f} GB/s logical "
+              f"({100*byts_prog/dt/1e9/PEAK_HBM_GBS:.0f}% HBM peak), "
+              f"{tasks_per_iter/dt_iter:.0f} tasks/sec, "
+              f"{1/dt_iter:.1f} it/s")
 
 
 if __name__ == "__main__":
