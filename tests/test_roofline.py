@@ -49,6 +49,18 @@ def test_maml_min_config():
 
 
 @pytest.mark.slow
+def test_trpo_config_scan_body_scaling():
+    # RL flagship config: compiles and reports, and the program-level
+    # numbers are the per-iteration (scan-body-once) costs x fuse.
+    text = _run("--config", "trpo_particles", "--fuse", "3")
+    assert "scan body x 3" in text
+    prog = _gflop(text)
+    it = float(next(l for l in text.splitlines()
+                    if l.startswith("per iteration")).split()[2])
+    assert prog == pytest.approx(3 * it, rel=1e-3)
+
+
+@pytest.mark.slow
 def test_knobs_change_compiled_costs():
     base = _gflop(_run("--config", "maml_omni"))
     s2d = _gflop(_run("--config", "maml_omni", "--conv_impl", "s2d"))
