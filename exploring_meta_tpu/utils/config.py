@@ -271,7 +271,10 @@ def rl_argparser(defaults: RLScriptConfig,
                         "(TensorBoard/XProf)")
     p.add_argument("--fuse", type=int, default=defaults.fuse,
                    help="meta-iterations fused into one XLA program "
-                        "(device envs; composes with --mesh)")
+                        "(device envs; composes with --mesh). The TRPO "
+                        "step is latency-bound: --bf16 --fuse 20 is the "
+                        "fast config (BASELINE.md r5s6c); past ~20 (or "
+                        "f32 at 20) remote compile time blows up")
     p.add_argument("--task_batch", action="store_true",
                    default=defaults.task_batch,
                    help="host envs: collect all tasks' episodes in lockstep "
