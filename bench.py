@@ -14,6 +14,9 @@ invocation):
   trpo_particles  full MAML-TRPO meta-iteration (reference rl/maml_trpo.py
                   scale: 20 tasks x 20 eps x horizon 100, 2nd-order TRPO
                   outer step with CG + line search) — iterations/sec
+  trpo_particles_fast  the same meta-iteration under the documented fast
+                  flags (--bf16 --fuse 20, BASELINE.md r5s6c), same
+                  torch-CPU denominator
   host_rollout_ant  MuJoCo Ant host-rollout env steps/sec through the
                   native C++ env pool vs the sequential Python loop
   host_collect_ant_batched  full Ant meta-batch collection (support +
@@ -459,27 +462,24 @@ def measure_tpu_anil_min() -> float:
     return _measure_vision(anil=True)
 
 
-def measure_tpu_trpo_particles() -> float:
+def _measure_trpo(bf16: bool, iters: int) -> float:
     """Full MAML-TRPO meta-iteration at reference scale on device —
     the trainers' fused path (rl/train_scan.py): sampling, rollouts,
     first-order inner adaptation and the second-order CG/line-search
-    outer step, 10 iterations per XLA program. -> iterations/sec."""
+    outer step, ``iters`` iterations per XLA program. -> iterations/sec."""
     import jax
     from exploring_meta_tpu import rl
     from exploring_meta_tpu.envs import Particles2D
     from exploring_meta_tpu.models import DiagNormalPolicy
 
     TASKS = 20
-    # Fused-chunk length (trainers' --fuse K): iterations per XLA program.
-    # Larger chunks amortize the per-dispatch tunnel overhead (~15-20 ms
-    # on a fresh process); compile cost is ~constant in K (same scan body).
-    ITERS = int(os.environ.get("EMT_BENCH_FUSE", "10"))
     env = Particles2D()
     policy = DiagNormalPolicy(input_size=2, output_size=2)
-    if os.environ.get("EMT_BENCH_BF16") == "1":
+    if bf16:
         # RL --bf16 mode: policy compute graphs in bf16, f32 master params
         # (parity-gated via scripts/parity_check.py --rl trpo --bf16).
         policy = policy._replace(compute_dtype="bf16")
+    ITERS = iters
     params = policy.init(jax.random.key(0))
     rl_cfg = rl.RLConfig(inner_lr=0.05, gamma=0.99, tau=1.0, adapt_steps=1,
                          adapt_batch_size=20, max_path_length=100)
@@ -506,6 +506,28 @@ def measure_tpu_trpo_particles() -> float:
         float(ms["meta_loss"][-1])  # ground-truth host fetch
         best = max(best, ITERS / (time.perf_counter() - t0))
     return best
+
+
+def measure_tpu_trpo_particles() -> float:
+    """The reference-exact configuration: full f32 precision.
+
+    EMT_BENCH_BF16=1 / EMT_BENCH_FUSE=K keep working as A/B knobs (used
+    by the BASELINE.md fuse sweeps); the defaults are f32, 10
+    iterations per XLA program (the trainers' --fuse default — larger
+    chunks amortize the ~15-20 ms per-dispatch tunnel overhead)."""
+    return _measure_trpo(bf16=os.environ.get("EMT_BENCH_BF16") == "1",
+                         iters=int(os.environ.get("EMT_BENCH_FUSE", "10")))
+
+
+def measure_tpu_trpo_particles_fast() -> float:
+    """The documented fast MAML-TRPO configuration (--bf16 --fuse 20,
+    BASELINE.md r5s6c): accuracy-gated RL mixed precision + 20 fused
+    iterations per program. Same torch-CPU denominator as
+    trpo_particles — the reference computation does not change; this
+    row records what a user of the fast flags actually gets (96 it/s
+    vs 27 f32 on a v5e chip). Past fuse~20 the remote XLA compiler,
+    not the device, sets the limit (r5s6c)."""
+    return _measure_trpo(bf16=True, iters=20)
 
 
 def _measure_host_rollout(backend: str, policy_device: str = "device") -> float:
@@ -849,6 +871,12 @@ CONFIGS = {
         "measure": measure_tpu_trpo_particles,
         "baseline": measure_torch_cpu_trpo_baseline,
     },
+    "trpo_particles_fast": {
+        "metric": "maml_trpo_particles2d_meta_iteration_bf16_fuse20",
+        "unit": "iterations/sec",
+        "measure": measure_tpu_trpo_particles_fast,
+        "baseline": measure_torch_cpu_trpo_baseline,
+    },
     "host_rollout_ant": {
         "metric": "ant_host_rollout_native_pool",
         "unit": "env_steps/sec",
@@ -906,6 +934,7 @@ CONFIGS = {
 _BASELINE_ALIAS = {
     "host_rollout_ant_cpu_policy": "host_rollout_ant",
     "host_collect_ant_batched_cpu_policy": "host_collect_ant_batched",
+    "trpo_particles_fast": "trpo_particles",
 }
 
 # Baselines that are pure torch-CPU reproductions measure the same thing

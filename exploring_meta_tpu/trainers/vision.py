@@ -48,8 +48,8 @@ class VisionTrainer(Experiment):
         cfg = self.cfg
         train_ds, valid_ds, test_ds = tasks.get_dataset(
             cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None,
-            synth_classes=getattr(cfg, "synth_classes", 0),
-            synth_per_class=getattr(cfg, "synth_per_class", 0))
+            synth_classes=cfg.synth_classes,
+            synth_per_class=cfg.synth_per_class)
 
         # Always set it — a previous trainer in this process may have left
         # the module default on another lowering.
@@ -65,7 +65,7 @@ class VisionTrainer(Experiment):
         fast_adapt = adapt.make_vision_fast_adapt(
             spec, inner_lr=cfg.inner_lr, adapt_steps=cfg.adapt_steps,
             shots=cfg.shots, ways=cfg.ways, anil=self.anil,
-            remat_body=getattr(cfg, "remat_body", False))
+            remat_body=cfg.remat_body)
         if cfg.bf16:
             # Mixed precision: bf16 compute graph, f32 master params/Adam
             # (the meta-step is HBM-bandwidth-bound; see BASELINE.md).
@@ -103,7 +103,7 @@ class VisionTrainer(Experiment):
                    initial=start_iteration, total=cfg.num_iterations)
         iteration = start_iteration
         completed = start_iteration  # fused-path interrupt bookkeeping
-        trace_ctx = (device_trace(cfg.trace) if getattr(cfg, "trace", "")
+        trace_ctx = (device_trace(cfg.trace) if cfg.trace
                      else contextlib.nullcontext())
         try:
           with trace_ctx:

@@ -13,6 +13,13 @@
 set -u
 cd "$(dirname "$0")/.."
 QUEUE=${1:?usage: chip_queue.sh <queuefile> [logdir]}
+# Resolve + validate BEFORE doing anything: a typo'd or cwd-relative path
+# must fail loudly here, not fall through `source` to the DONE line (which
+# chain_queue.sh/tunnel_watch.sh would read as a completed run).
+[ -r "$QUEUE" ] || {
+  echo "chip_queue: ERROR queue file not readable: $QUEUE (cwd is repo root)" >&2
+  exit 2
+}
 LOGDIR=${2:-chip_logs/$(date +%m%d_%H%M)}
 mkdir -p "$LOGDIR"
 echo "chip_queue: queue=$QUEUE logging to $LOGDIR"

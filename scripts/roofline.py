@@ -87,7 +87,8 @@ def build_vision(config: str, bf16: bool, meta_batch: int,
     return step, args, fetch, 1, meta_batch, False
 
 
-def build_trpo(bf16: bool, fuse: int):
+def build_trpo(bf16: bool, fuse: int, precision: str = "",
+               tasks_per_iter: int = 20):
     """The RL flagship: full MAML-TRPO meta-iterations at reference scale
     (rl/maml_trpo.py: 20 tasks x 20 episodes x horizon 100, first-order
     collection + second-order CG/line-search outer step), ``fuse``
@@ -99,8 +100,15 @@ def build_trpo(bf16: bool, fuse: int):
     from exploring_meta_tpu import rl
     from exploring_meta_tpu.envs import Particles2D
     from exploring_meta_tpu.models import DiagNormalPolicy
+    from exploring_meta_tpu.models.layers import set_precision
 
-    TASKS = 20
+    # Only an EXPLICIT --precision overrides here (unlike build_vision's
+    # bf16 auto-"default"): the recorded r5s6b TRPO rows ran under the
+    # module default, and the RL bf16 mode casts operands itself
+    # (compute_dtype), where the MXU precision knob is a measured no-op.
+    if precision:
+        set_precision(precision)
+    TASKS = tasks_per_iter
     env = Particles2D()
     policy = DiagNormalPolicy(input_size=2, output_size=2)
     if bf16:
@@ -125,7 +133,10 @@ def main():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--conv_impl", choices=["direct", "s2d", "pallas"],
                    default="direct")
-    p.add_argument("--meta_batch", type=int, default=32)
+    p.add_argument("--meta_batch", type=int, default=None,
+                   help="tasks per meta-iteration (default: 32 for the "
+                        "vision configs, 20 — the rl/maml_trpo.py "
+                        "reference scale — for trpo_particles)")
     p.add_argument("--fuse", type=int, default=10,
                    help="trpo_particles: meta-iterations per fused program "
                         "(the trainers' --fuse K)")
@@ -149,13 +160,17 @@ def main():
     set_conv_impl(args.conv_impl)
 
     if args.config == "trpo_particles":
+        mb = args.meta_batch if args.meta_batch is not None else 20
         step, call_args, fetch, iters_per_program, tasks_per_iter, \
-            body_once = build_trpo(bf16=args.bf16, fuse=args.fuse)
+            body_once = build_trpo(bf16=args.bf16, fuse=args.fuse,
+                                   precision=args.precision,
+                                   tasks_per_iter=mb)
     else:
+        mb = args.meta_batch if args.meta_batch is not None else 32
         step, call_args, fetch, iters_per_program, tasks_per_iter, \
             body_once = build_vision(
                 config=args.config, bf16=args.bf16,
-                meta_batch=args.meta_batch, remat_body=args.remat_body,
+                meta_batch=mb, remat_body=args.remat_body,
                 precision=args.precision)
 
     lowered = step.lower(*call_args)
@@ -178,7 +193,7 @@ def main():
     intensity = flops_iter / byts_iter if byts_iter else float("nan")
     ridge = PEAK_TFLOPS_BF16 * 1e12 / (PEAK_HBM_GBS * 1e9)
     print(f"config={args.config} bf16={args.bf16} conv_impl={args.conv_impl} "
-          f"meta_batch={args.meta_batch} backend={jax.default_backend()}")
+          f"meta_batch={tasks_per_iter} backend={jax.default_backend()}")
     print(f"per program:   {flops_prog/1e9:.2f} GFLOP, "
           f"{byts_prog/1e9:.3f} GB accessed{prog_note}")
     print(f"per iteration: {flops_iter/1e9:.2f} GFLOP, "

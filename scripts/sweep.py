@@ -121,8 +121,8 @@ def _vmapped_vision(cfg, anil, seeds, mesh):
 
     train_ds, valid_ds, test_ds = tasks.get_dataset(
         cfg.dataset, seed=cfg.seed, synthetic=cfg.synthetic or None,
-        synth_classes=getattr(cfg, "synth_classes", 0),
-        synth_per_class=getattr(cfg, "synth_per_class", 0))
+        synth_classes=cfg.synth_classes,
+        synth_per_class=cfg.synth_per_class)
     set_conv_impl(cfg.conv_impl)
     spec = _build_spec(cfg, anil)
     fast_adapt = adapt.make_vision_fast_adapt(
@@ -147,8 +147,11 @@ def _vmapped_vision(cfg, anil, seeds, mesh):
     # kills mid-execution ("TPU worker process crashed", observed twice
     # at the full-scale Omniglot budget, chip_logs/r5s1{,b}). Chunked
     # driving keeps each dispatch short; fuse=1 (the sweep default)
-    # falls back to the historical whole-budget-one-program behavior
-    # for budgets that fit.
+    # keeps the whole budget in one program for budgets that fit. Note
+    # the chunk driver splits each seed's key once per chunk (even in
+    # the single-chunk case), so task-sampling streams differ from
+    # pre-r5 sweep artifacts at the same --seeds; streams stay
+    # self-consistent and distinct per seed, which is all a sweep needs.
     chunk = cfg.fuse if cfg.fuse > 1 else cfg.num_iterations
     train = adapt.make_train_scan(fast_adapt, opt, sample_train,
                                   chunk, eval_sample_fn=sample_valid)
@@ -191,6 +194,7 @@ def _vmapped_rl(cfg, algo, anil, seeds, mesh):
     """All-seeds-in-one-program device-env RL sweep. -> (metrics
     [S, num_iterations], params_stack, per-seed eval rewards)."""
     import jax
+    import jax.numpy as jnp
     import optax
 
     from exploring_meta_tpu import parallel, rl
@@ -211,24 +215,48 @@ def _vmapped_rl(cfg, algo, anil, seeds, mesh):
         ppo_clip_ratio=cfg.ppo_clip_ratio, anil=anil)
     roll = rl.make_rollout(env, policy.sample, episodes=cfg.adapt_batch_size,
                            horizon=cfg.max_path_length)
+    # --fuse chunks the budget into iterations-per-program here exactly
+    # as in _vmapped_vision: one RPC carrying minutes of device time
+    # crashes the remote TPU worker (chip_logs/r5s1{,b}).
+    chunk = cfg.fuse if cfg.fuse > 1 else cfg.num_iterations
+    n_chunks, rem = divmod(cfg.num_iterations, chunk)
+    sizes = [chunk] * n_chunks + ([rem] if rem else [])
+    split_keys = jax.vmap(lambda k: jax.random.split(k))
     if algo == "trpo":
         trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
                                  ls_max_steps=cfg.ls_max_steps,
                                  backtrack_factor=cfg.backtrack_factor)
-        train = rl.make_trpo_train_scan(env, policy, roll, rl_cfg, trpo_cfg,
-                                        cfg.meta_batch_size,
-                                        cfg.num_iterations)
+
+        def make_train(n):
+            t = rl.make_trpo_train_scan(env, policy, roll, rl_cfg, trpo_cfg,
+                                        cfg.meta_batch_size, n)
+            return parallel.vmap_seeds(t, 2, mesh=mesh)
+
         params, _, keys = parallel.stack_seed_states(policy.init, seeds)
-        params, ms = parallel.vmap_seeds(train, 2, mesh=mesh)(params, keys)
+        trains, chunk_ms = {n: make_train(n) for n in set(sizes)}, []
+        for n in sizes:
+            ks = split_keys(keys)
+            keys, use = ks[:, 0], ks[:, 1]
+            params, ms = trains[n](params, use)
+            chunk_ms.append(ms)
     else:
         opt = optax.adam(cfg.outer_lr)
-        train = rl.make_adam_train_scan(env, policy, roll, rl_cfg, opt, algo,
-                                        cfg.meta_batch_size,
-                                        cfg.num_iterations)
+
+        def make_train(n):
+            t = rl.make_adam_train_scan(env, policy, roll, rl_cfg, opt,
+                                        algo, cfg.meta_batch_size, n)
+            return parallel.vmap_seeds(t, 3, mesh=mesh)
+
         params, opt_state, keys = parallel.stack_seed_states(
             policy.init, seeds, opt)
-        params, _, ms = parallel.vmap_seeds(train, 3, mesh=mesh)(
-            params, opt_state, keys)
+        trains, chunk_ms = {n: make_train(n) for n in set(sizes)}, []
+        for n in sizes:
+            ks = split_keys(keys)
+            keys, use = ks[:, 0], ks[:, 1]
+            params, opt_state, ms = trains[n](params, opt_state, use)
+            chunk_ms.append(ms)
+    ms = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *chunk_ms) \
+        if len(chunk_ms) > 1 else chunk_ms[0]
 
     # Post-training meta-test per seed (rl.meta_test drives a fresh
     # test-split env from the host — cheap next to training).

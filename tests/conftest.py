@@ -36,20 +36,31 @@ if os.environ.get("EMT_TEST_TPU") != "1":
     # reload. Tiny programs stay uncached (min_compile_time_secs) — they
     # recompile faster than they deserialize. Delete .pytest_xla_cache/
     # to measure cold-compile behavior.
-    if os.environ.get("EMT_TEST_COMPILE_CACHE", "1") == "1":
+    #
+    # Resolution order: an explicit user EMT_COMPILE_CACHE wins everywhere
+    # — "off" disables caching for the WHOLE suite (in-process AND the
+    # JAX_* vars subprocess scripts read; a half-cached bisect is worse
+    # than either extreme), a user dir is used as-is. Otherwise
+    # EMT_TEST_COMPILE_CACHE=0 disables, default is the suite-local dir.
+    if _user_cache:
+        _cache_dir = os.environ["EMT_COMPILE_CACHE"]
+        _cache_dir = "" if _cache_dir == "off" else _cache_dir
+    elif os.environ.get("EMT_TEST_COMPILE_CACHE", "1") == "1":
         _cache_dir = os.path.abspath(
             os.path.join(os.path.dirname(__file__), os.pardir,
                          ".pytest_xla_cache"))
+        # EMT_COMPILE_CACHE feeds enable_compile_cache-aware entry points
+        # (subprocess-spawned roofline/sweep/trainer CLIs re-compile the
+        # very biggest programs otherwise).
+        os.environ["EMT_COMPILE_CACHE"] = _cache_dir
+    else:
+        _cache_dir = ""
+    if _cache_dir:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        # Subprocess-spawned scripts (roofline/sweep/trainer CLIs) must
-        # share the cache too — they re-compile the very biggest programs
-        # otherwise. EMT_COMPILE_CACHE feeds enable_compile_cache-aware
-        # entry points; the JAX_* vars cover scripts that configure jax
-        # directly.
-        if not _user_cache:
-            os.environ["EMT_COMPILE_CACHE"] = _cache_dir
+        # The JAX_* vars cover subprocess scripts that configure jax
+        # directly rather than through enable_compile_cache.
         os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
         os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2.0"
         os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"

@@ -137,10 +137,13 @@ def test_sweep_script_vmapped_vision(tmp_path, monkeypatch):
     import sweep
 
     monkeypatch.chdir(tmp_path)
+    # --fuse 2 over a 3-iteration budget drives the chunk loop: one
+    # 2-iteration program + a 1-iteration remainder program
+    # (chip_logs/r5s1: undivided full budgets crash the remote worker).
     monkeypatch.setattr(sys, "argv", [
         "sweep.py", "maml_vision", "--seeds", "42,7", "--vmap_seeds",
-        "--synthetic", "--num_iterations", "2", "--meta_batch_size", "2",
-        "--compile_cache", "off",
+        "--synthetic", "--num_iterations", "3", "--meta_batch_size", "2",
+        "--fuse", "2", "--compile_cache", "off",
     ])
     sweep.main()
 
@@ -152,7 +155,7 @@ def test_sweep_script_vmapped_vision(tmp_path, monkeypatch):
     run0 = s["runs"][0]["run_dir"]
     ms = json.loads(open(os.path.join(run0, "metrics.json")).read())
     for k in ("train_loss", "train_acc", "valid_loss", "valid_acc"):
-        assert len(ms[k]) == 2
+        assert len(ms[k]) == 3   # chunks concatenate to the full budget
     assert len(ms["test_acc"]) == 1
     # the model artifact loads through the standard checkpoint loader
     from exploring_meta_tpu.utils.experiment import load_params
@@ -176,11 +179,13 @@ def test_sweep_script_vmapped_rl(tmp_path, monkeypatch):
     import sweep
 
     monkeypatch.chdir(tmp_path)
+    # chunked driving on the RL path too (--fuse 2 over 3 iterations:
+    # main chunk + remainder program, metrics concatenated)
     monkeypatch.setattr(sys, "argv", [
         "sweep.py", "maml_vpg", "--seeds", "42,7", "--vmap_seeds",
-        "--num_iterations", "2", "--meta_batch_size", "2",
+        "--num_iterations", "3", "--meta_batch_size", "2",
         "--adapt_batch_size", "2", "--max_path_length", "6",
-        "--n_eval_tasks", "2", "--compile_cache", "off",
+        "--n_eval_tasks", "2", "--fuse", "2", "--compile_cache", "off",
     ])
     sweep.main()
 
@@ -189,7 +194,7 @@ def test_sweep_script_vmapped_rl(tmp_path, monkeypatch):
     assert all(isinstance(r["eval_reward"], float) for r in s["runs"])
     ms = json.loads(open(os.path.join(s["runs"][0]["run_dir"],
                                       "metrics.json")).read())
-    assert len(ms["adapt_reward"]) == 2
+    assert len(ms["adapt_reward"]) == 3
 
 
 def test_vmapped_rejects_serial_only_flags():
