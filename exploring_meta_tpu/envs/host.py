@@ -21,6 +21,7 @@ Envs provided:
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -147,7 +148,17 @@ class HostVecEnv:
             # typos must not silently fall back (same rule as _place_policy)
             raise ValueError(f"unknown backend {backend!r}; "
                              "one of 'auto' | 'native' | 'python'")
-        if backend in ("auto", "native"):
+        # The pool only pays off when worker threads can overlap physics
+        # (MuJoCo releases the GIL). With ONE effective worker it still
+        # pays the per-env callback crossing plus the enqueue/handoff —
+        # measured 0.7-0.8x of the plain sequential loop on a 1-core box
+        # (BASELINE.md r5s8) — so "auto" takes the sequential path there;
+        # backend="native" still forces the pool (the bench A/B row).
+        _threads = n_threads if n_threads is not None else min(
+            n_envs, os.cpu_count() or 1)
+        if backend == "auto" and _threads <= 1:
+            pass
+        elif backend in ("auto", "native"):
             try:
                 from exploring_meta_tpu.native.binding import PythonEnvPool
                 self._pool = PythonEnvPool(self.envs, n_threads=n_threads)

@@ -170,9 +170,20 @@ def test_hostvecenv_native_matches_python_on_mujoco():
             err_msg=field)
 
 
-def test_hostvecenv_native_is_default_on_factory(fake_metaworld):
+def test_hostvecenv_auto_backend_heuristic(fake_metaworld, monkeypatch):
+    """auto picks the C++ pool when buildable AND >1 worker thread can
+    overlap physics; with one effective worker the pool only adds the
+    enqueue/callback handoff (measured 0.7-0.8x of the sequential loop,
+    BASELINE.md r5s8), so auto takes the sequential path there."""
+    import os as os_mod
+
     from exploring_meta_tpu.envs.factory import make_env
 
+    monkeypatch.setattr(os_mod, "cpu_count", lambda: 8)
     env, is_device = make_env("ML10", workers=2, seed=0, max_path_length=4)
     assert not is_device
-    assert env.backend == "native"  # auto picks the C++ pool when buildable
+    assert env.backend == "native"
+
+    monkeypatch.setattr(os_mod, "cpu_count", lambda: 1)
+    env, _ = make_env("ML10", workers=2, seed=0, max_path_length=4)
+    assert env.backend == "python"
