@@ -81,3 +81,23 @@ def test_down_tunnel_all_mode_labels_every_config():
     assert all(r["error"] == "tpu_tunnel_down" for r in recs)
     after = open(full).read() if os.path.exists(full) else None
     assert after == before
+
+
+def test_config_registry_contract():
+    """Every CONFIGS row carries the four keys run_config consumes;
+    every _BASELINE_ALIAS points at a real config; the fast-TRPO row
+    shares the reference-exact torch denominator (the reference
+    computation does not change with --bf16/--fuse, so the two rows
+    must divide by the SAME cache entry)."""
+    bench = _load_bench()
+    for name, cfg in bench.CONFIGS.items():
+        for k in ("metric", "unit", "measure", "baseline"):
+            assert k in cfg, (name, k)
+        assert callable(cfg["measure"]) and callable(cfg["baseline"])
+    for alias, target in bench._BASELINE_ALIAS.items():
+        assert alias in bench.CONFIGS and target in bench.CONFIGS
+    assert bench._BASELINE_ALIAS["trpo_particles_fast"] == "trpo_particles"
+    assert "trpo_particles" in bench._TORCH_BASELINES
+    # aliased rows must also share the measurement function's denominator
+    assert (bench.CONFIGS["trpo_particles_fast"]["baseline"]
+            is bench.CONFIGS["trpo_particles"]["baseline"])
