@@ -154,8 +154,10 @@ class HostVecEnv:
         # measured 0.7-0.8x of the plain sequential loop on a 1-core box
         # (BASELINE.md r5s8) — so "auto" takes the sequential path there;
         # backend="native" still forces the pool (the bench A/B row).
-        _threads = n_threads if n_threads is not None else min(
-            n_envs, os.cpu_count() or 1)
+        # "Effective" clamps the REQUESTED count to the core count: on a
+        # 1-core host, --workers 4 threads still run one at a time.
+        _threads = min(n_threads if n_threads is not None else n_envs,
+                       os.cpu_count() or 1)
         if backend == "auto" and _threads <= 1:
             pass
         elif backend in ("auto", "native"):

@@ -6,6 +6,12 @@
 # Usage: setsid nohup bash scripts/chain_queue.sh <pidfile> <donelog> <next_script> &
 set -u
 PIDFILE=$1; DONELOG=$2; NEXT=$3
+# Validate the NEXT queue at launch — discovering a typo when the first
+# queue finishes wastes the rest of the tunnel window.
+[ -r "$NEXT" ] || {
+  echo "chain_queue: ERROR next queue file not readable: $NEXT" >&2
+  exit 2
+}
 # PITFALL: `setsid nohup bash q.sh & echo $! > pidfile` records the pid of
 # the setsid LAUNCHER, which forks and exits immediately — the dead-pid
 # check would then fire the next queue while the first still runs (two TPU

@@ -108,11 +108,52 @@ def _seed_run_dirs(sweep_dir, algo, seeds, metrics_per_seed, params_stack,
     return runs
 
 
+def _chunk_sizes(cfg):
+    """--fuse as iterations-per-program for the vmapped sweeps: a whole
+    reference budget (5k iterations x S seeds) as ONE dispatch is minutes
+    of device time in a single RPC, which this image's remote runtime
+    kills mid-execution ("TPU worker process crashed", observed twice at
+    the full-scale Omniglot budget, chip_logs/r5s1{,b}). Chunked driving
+    keeps each dispatch short; fuse<=1 (the sweep default) keeps the
+    whole budget in one program for budgets that fit."""
+    if cfg.num_iterations < 1:
+        raise SystemExit("--vmap_seeds needs --num_iterations >= 1")
+    chunk = cfg.fuse if cfg.fuse > 1 else cfg.num_iterations
+    n_chunks, rem = divmod(cfg.num_iterations, chunk)
+    return [chunk] * n_chunks + ([rem] if rem else [])
+
+
+def _drive_chunks(make_train, sizes, keys, state, extra=()):
+    """Drive the chunk schedule through per-size vmapped programs.
+
+    Splits each seed's key once per chunk (even in the single-chunk
+    case — task-sampling streams therefore differ from pre-r5 sweep
+    artifacts at the same --seeds; streams stay self-consistent and
+    distinct per seed, which is all a sweep needs). Each program is
+    called as ``train(*state, key, *extra)`` and must return
+    ``(*state', metrics)``; metrics concatenate along the iteration
+    axis (leaves are [S, n]). -> (state, keys, metrics)."""
+    import jax
+    import jax.numpy as jnp
+
+    trains = {n: make_train(n) for n in set(sizes)}
+    split_keys = jax.vmap(lambda k: jax.random.split(k))
+    state, chunk_ms = tuple(state), []
+    for n in sizes:
+        ks = split_keys(keys)
+        keys, use = ks[:, 0], ks[:, 1]
+        out = trains[n](*state, use, *extra)
+        state, ms = out[:-1], out[-1]
+        chunk_ms.append(ms)
+    ms = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *chunk_ms) \
+        if len(chunk_ms) > 1 else chunk_ms[0]
+    return state, keys, ms
+
+
 def _vmapped_vision(cfg, anil, seeds, mesh):
     """All-seeds-in-one-program vision sweep. -> (metrics dict with
     leaves [S, num_iterations], params_stack, per-seed test accs)."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from exploring_meta_tpu import adapt, models, parallel, tasks
@@ -141,40 +182,18 @@ def _vmapped_vision(cfg, anil, seeds, mesh):
         return tasks.sample_task_batch(
             k, valid_ds._replace(images=va_imgs), cfg.ways, cfg.shots, mb)
 
-    # Honor --fuse as iterations-per-program here too: a whole reference
-    # budget (5k iterations x S seeds) as ONE dispatch is minutes of
-    # device time in a single RPC, which this image's remote runtime
-    # kills mid-execution ("TPU worker process crashed", observed twice
-    # at the full-scale Omniglot budget, chip_logs/r5s1{,b}). Chunked
-    # driving keeps each dispatch short; fuse=1 (the sweep default)
-    # keeps the whole budget in one program for budgets that fit. Note
-    # the chunk driver splits each seed's key once per chunk (even in
-    # the single-chunk case), so task-sampling streams differ from
-    # pre-r5 sweep artifacts at the same --seeds; streams stay
-    # self-consistent and distinct per seed, which is all a sweep needs.
-    chunk = cfg.fuse if cfg.fuse > 1 else cfg.num_iterations
-    train = adapt.make_train_scan(fast_adapt, opt, sample_train,
-                                  chunk, eval_sample_fn=sample_valid)
     params, opt_state, keys = parallel.stack_seed_states(
         lambda ik: models.init_cnn4(ik, spec), seeds, opt)
-    sweep = parallel.vmap_seeds(train, 3, 2, mesh=mesh)
-    n_chunks, rem = divmod(cfg.num_iterations, chunk)
-    trains = {chunk: sweep}
-    if rem:
-        trains[rem] = parallel.vmap_seeds(
-            adapt.make_train_scan(fast_adapt, opt, sample_train, rem,
+
+    def make_train(n):
+        return parallel.vmap_seeds(
+            adapt.make_train_scan(fast_adapt, opt, sample_train, n,
                                   eval_sample_fn=sample_valid),
             3, 2, mesh=mesh)
-    chunk_ms = []
-    split_keys = jax.vmap(lambda k: jax.random.split(k))
-    for n in [chunk] * n_chunks + ([rem] if rem else []):
-        ks = split_keys(keys)
-        keys, use = ks[:, 0], ks[:, 1]
-        params, opt_state, ms = trains[n](params, opt_state, use,
-                                          train_ds.images, valid_ds.images)
-        chunk_ms.append(ms)
-    ms = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *chunk_ms) \
-        if len(chunk_ms) > 1 else chunk_ms[0]
+
+    (params, opt_state), keys, ms = _drive_chunks(
+        make_train, _chunk_sizes(cfg), keys, (params, opt_state),
+        extra=(train_ds.images, valid_ds.images))
 
     # Per-seed meta-test on the test split, one vmapped program (fresh
     # fold of each seed's carry key — the scan consumed the key itself).
@@ -194,7 +213,6 @@ def _vmapped_rl(cfg, algo, anil, seeds, mesh):
     """All-seeds-in-one-program device-env RL sweep. -> (metrics
     [S, num_iterations], params_stack, per-seed eval rewards)."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from exploring_meta_tpu import parallel, rl
@@ -215,13 +233,9 @@ def _vmapped_rl(cfg, algo, anil, seeds, mesh):
         ppo_clip_ratio=cfg.ppo_clip_ratio, anil=anil)
     roll = rl.make_rollout(env, policy.sample, episodes=cfg.adapt_batch_size,
                            horizon=cfg.max_path_length)
-    # --fuse chunks the budget into iterations-per-program here exactly
-    # as in _vmapped_vision: one RPC carrying minutes of device time
-    # crashes the remote TPU worker (chip_logs/r5s1{,b}).
-    chunk = cfg.fuse if cfg.fuse > 1 else cfg.num_iterations
-    n_chunks, rem = divmod(cfg.num_iterations, chunk)
-    sizes = [chunk] * n_chunks + ([rem] if rem else [])
-    split_keys = jax.vmap(lambda k: jax.random.split(k))
+    # --fuse chunks the budget exactly as in _vmapped_vision
+    # (_chunk_sizes / _drive_chunks — the r5s1 remote-worker-crash rule).
+    sizes = _chunk_sizes(cfg)
     if algo == "trpo":
         trpo_cfg = rl.TRPOConfig(outer_lr=cfg.outer_lr, max_kl=cfg.max_kl,
                                  ls_max_steps=cfg.ls_max_steps,
@@ -233,12 +247,8 @@ def _vmapped_rl(cfg, algo, anil, seeds, mesh):
             return parallel.vmap_seeds(t, 2, mesh=mesh)
 
         params, _, keys = parallel.stack_seed_states(policy.init, seeds)
-        trains, chunk_ms = {n: make_train(n) for n in set(sizes)}, []
-        for n in sizes:
-            ks = split_keys(keys)
-            keys, use = ks[:, 0], ks[:, 1]
-            params, ms = trains[n](params, use)
-            chunk_ms.append(ms)
+        (params,), keys, ms = _drive_chunks(make_train, sizes, keys,
+                                            (params,))
     else:
         opt = optax.adam(cfg.outer_lr)
 
@@ -249,14 +259,8 @@ def _vmapped_rl(cfg, algo, anil, seeds, mesh):
 
         params, opt_state, keys = parallel.stack_seed_states(
             policy.init, seeds, opt)
-        trains, chunk_ms = {n: make_train(n) for n in set(sizes)}, []
-        for n in sizes:
-            ks = split_keys(keys)
-            keys, use = ks[:, 0], ks[:, 1]
-            params, opt_state, ms = trains[n](params, opt_state, use)
-            chunk_ms.append(ms)
-    ms = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *chunk_ms) \
-        if len(chunk_ms) > 1 else chunk_ms[0]
+        (params, opt_state), keys, ms = _drive_chunks(
+            make_train, sizes, keys, (params, opt_state))
 
     # Post-training meta-test per seed (rl.meta_test drives a fresh
     # test-split env from the host — cheap next to training).

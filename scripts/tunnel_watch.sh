@@ -8,6 +8,12 @@
 set -u
 cd "$(dirname "$0")/.."
 QUEUE=${1:?usage: tunnel_watch.sh <queuefile> [max_probes]}
+# Validate at LAUNCH, not at the first successful probe: a typo'd path
+# discovered hours later wastes the whole tunnel-up window.
+[ -r "$QUEUE" ] || {
+  echo "tunnel_watch: ERROR queue file not readable: $QUEUE (cwd is repo root)" >&2
+  exit 2
+}
 MAX=${2:-44}
 for i in $(seq 1 "$MAX"); do
   if timeout 300 python -c "import jax; print(jax.devices())" \

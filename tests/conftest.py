@@ -44,7 +44,14 @@ if os.environ.get("EMT_TEST_TPU") != "1":
     # EMT_TEST_COMPILE_CACHE=0 disables, default is the suite-local dir.
     if _user_cache:
         _cache_dir = os.environ["EMT_COMPILE_CACHE"]
-        _cache_dir = "" if _cache_dir == "off" else _cache_dir
+        if _cache_dir.strip().lower() in ("off", "none", "0", ""):
+            # Normalize in the env too: subprocess CLIs read the var
+            # through enable_compile_cache, where "" means "use the
+            # default dir" — leaving it would produce exactly the
+            # half-cached (in-process off, subprocess on) split this
+            # block exists to prevent.
+            os.environ["EMT_COMPILE_CACHE"] = "off"
+            _cache_dir = ""
     elif os.environ.get("EMT_TEST_COMPILE_CACHE", "1") == "1":
         _cache_dir = os.path.abspath(
             os.path.join(os.path.dirname(__file__), os.pardir,

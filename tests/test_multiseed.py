@@ -173,23 +173,27 @@ def test_sweep_script_vmapped_vision(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
-def test_sweep_script_vmapped_rl(tmp_path, monkeypatch):
+@pytest.mark.parametrize("algo", ["vpg", "trpo"])
+def test_sweep_script_vmapped_rl(tmp_path, monkeypatch, algo):
+    """Both RL chunk-driver branches (Adam-family and TRPO — different
+    vmap arity, no opt_state threading on the TRPO side) run chunked:
+    --fuse 2 over 3 iterations = main chunk + remainder program,
+    metrics concatenated."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "scripts"))
     import sweep
 
     monkeypatch.chdir(tmp_path)
-    # chunked driving on the RL path too (--fuse 2 over 3 iterations:
-    # main chunk + remainder program, metrics concatenated)
     monkeypatch.setattr(sys, "argv", [
-        "sweep.py", "maml_vpg", "--seeds", "42,7", "--vmap_seeds",
+        "sweep.py", f"maml_{algo}", "--seeds", "42,7", "--vmap_seeds",
         "--num_iterations", "3", "--meta_batch_size", "2",
         "--adapt_batch_size", "2", "--max_path_length", "6",
         "--n_eval_tasks", "2", "--fuse", "2", "--compile_cache", "off",
     ])
     sweep.main()
 
-    s = json.loads((tmp_path / "sweeps" / "maml_vpg_42-7.json").read_text())
+    s = json.loads((tmp_path / "sweeps" / f"maml_{algo}_42-7.json")
+                   .read_text())
     assert s["vmapped"] is True
     assert all(isinstance(r["eval_reward"], float) for r in s["runs"])
     ms = json.loads(open(os.path.join(s["runs"][0]["run_dir"],
