@@ -163,6 +163,7 @@ class TestMetaGradient:
         g = jax.grad(meta_loss)(params)
         assert np.abs(np.asarray(g["w1"])).max() > 0
 
+    @pytest.mark.slow
     def test_anil_remat_body_preserves_meta_gradient(self):
         """remat_body is a pure FLOPs-for-bytes schedule change
         (jax.checkpoint on body blocks): the ANIL meta-loss and its

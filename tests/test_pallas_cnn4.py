@@ -53,6 +53,7 @@ def test_forward_matches_xla(setup):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_first_order_grads_match(setup):
     _, params, x = setup
     y = jnp.arange(10) % 5
@@ -78,6 +79,7 @@ def test_input_cotangent_matches(setup):
     np.testing.assert_allclose(g_pal, g_xla, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vmap_broadcast_and_batched_params(setup):
     _, params, x = setup
     xb = jax.random.normal(jax.random.key(2), (3, 8, 28, 28, 1))
@@ -93,6 +95,7 @@ def test_vmap_broadcast_and_batched_params(setup):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_second_order_meta_grad_matches(setup):
     """grad THROUGH the inner jax.grad — the MAML meta-gradient path.
 
@@ -127,6 +130,7 @@ def test_second_order_meta_grad_matches(setup):
             np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_meta_step_end_to_end_conv_impl_pallas(setup):
     """Whole vmapped meta-step through set_conv_impl('pallas') routing,
     bf16 cast_compute included — the bench/trainer configuration."""
